@@ -1,0 +1,138 @@
+"""Connected-component labeling as iterative label propagation.
+
+The reference extracts connected components twice: cv::connectedComponents
+on the disparity mask (/root/reference/src/wass_stereo/wass_stereo.cpp:966-986)
+and a z-gap-gated flood fill over the grid-organized point cloud
+(PovMesh::cluster_biggest_connected_component,
+/root/reference/src/wass_stereo/PovMesh.cpp:929-987 with 4-neighborhood gating
+in :147-188).  Flood fill is inherently sequential; on TPU we instead run
+*min-label propagation*: initialize every valid pixel with its linear index
+and repeatedly propagate the minimum label across valid edges.  Each
+iteration uses segmented associative scans along rows and columns, which
+propagate labels across an entire row/column segment in one scan, so
+convergence needs only ~(number of "spiral arms") iterations rather than
+~diameter.
+
+Edges can be gated per-direction (the |dz| < zgap criterion) via edge_h /
+edge_v masks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.int32(2**31 - 1)
+
+
+def _seg_min_scan(labels: jnp.ndarray, connect: jnp.ndarray, axis: int, reverse: bool) -> jnp.ndarray:
+    """Segmented running-min of labels along axis.
+
+    connect[i] == True means element i is connected to its predecessor
+    (element i-1 along the scan direction), i.e. the min may flow across.
+    """
+
+    def op(a, b):
+        la, _ = a
+        lb, cb = b
+        return jnp.where(cb, jnp.minimum(la, lb), lb), a[1] & cb
+
+    lbl, _ = jax.lax.associative_scan(op, (labels, connect), axis=axis, reverse=reverse)
+    return lbl
+
+
+def label_components(
+    valid: jnp.ndarray,
+    edge_h: Optional[jnp.ndarray] = None,
+    edge_v: Optional[jnp.ndarray] = None,
+    max_iters: int = 64,
+) -> jnp.ndarray:
+    """Label 4-connected components of a validity mask.
+
+    Args:
+      valid: (H, W) bool mask.
+      edge_h: (H, W-1) bool — edge between (y,x) and (y,x+1) is traversable.
+      edge_v: (H-1, W) bool — edge between (y,x) and (y+1,x) is traversable.
+      max_iters: propagation-iteration cap (while_loop exits early on
+        convergence).
+
+    Returns:
+      (H, W) int32 labels; invalid pixels get INT32_MAX.  Labels are the
+      minimum linear index of each component (not densified).
+    """
+    H, W = valid.shape
+    idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    init = jnp.where(valid, idx, _INF)
+
+    if edge_h is None:
+        edge_h = jnp.ones((H, W - 1), bool)
+    if edge_v is None:
+        edge_v = jnp.ones((H - 1, W), bool)
+    # Connectivity arrays aligned with scan element positions.
+    conn_right = jnp.concatenate([jnp.zeros((H, 1), bool), edge_h & valid[:, :-1] & valid[:, 1:]], axis=1)
+    conn_down = jnp.concatenate([jnp.zeros((1, W), bool), edge_v & valid[:-1, :] & valid[1:, :]], axis=0)
+    # For reversed scans the "predecessor" is the next element.
+    conn_left = jnp.concatenate([conn_right[:, 1:], jnp.zeros((H, 1), bool)], axis=1)
+    conn_up = jnp.concatenate([conn_down[1:, :], jnp.zeros((1, W), bool)], axis=0)
+
+    def one_round(lbl):
+        lbl = _seg_min_scan(lbl, conn_right, axis=1, reverse=False)
+        lbl = _seg_min_scan(lbl, conn_left, axis=1, reverse=True)
+        lbl = _seg_min_scan(lbl, conn_down, axis=0, reverse=False)
+        lbl = _seg_min_scan(lbl, conn_up, axis=0, reverse=True)
+        return lbl
+
+    def cond(state):
+        i, lbl, changed = state
+        return (i < max_iters) & changed
+
+    def body(state):
+        i, lbl, _ = state
+        new = one_round(lbl)
+        return i + 1, new, jnp.any(new != lbl)
+
+    _, labels, _ = jax.lax.while_loop(cond, body, (0, init, True))
+    return jnp.where(valid, labels, _INF)
+
+
+def component_sizes(labels: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel size of the component each pixel belongs to."""
+    H, W = labels.shape
+    flat = labels.reshape(-1)
+    counts = jnp.zeros((H * W + 1,), jnp.int32)
+    safe = jnp.where(valid.reshape(-1), flat, H * W)
+    counts = counts.at[safe].add(1)
+    sizes = counts[jnp.clip(flat, 0, H * W - 1)]
+    return jnp.where(valid, sizes.reshape(H, W), 0)
+
+
+def biggest_component_mask(
+    valid: jnp.ndarray,
+    edge_h: Optional[jnp.ndarray] = None,
+    edge_v: Optional[jnp.ndarray] = None,
+    max_iters: int = 64,
+) -> jnp.ndarray:
+    """Mask of the largest connected component of `valid`."""
+    labels = label_components(valid, edge_h, edge_v, max_iters)
+    sizes = component_sizes(labels, valid)
+    best = jnp.max(sizes)
+    # All pixels whose component size equals the max size; if several
+    # components tie, keep the one with the smallest label (deterministic).
+    tied = (sizes == best) & valid
+    tied_labels = jnp.where(tied, labels, _INF)
+    best_label = jnp.min(tied_labels)
+    return (labels == best_label) & valid
+
+
+def zgap_component_mask(z: jnp.ndarray, valid: jnp.ndarray, max_zgap: jnp.ndarray, max_iters: int = 64) -> jnp.ndarray:
+    """Largest component where 4-neighbors connect only if |dz| < max_zgap.
+
+    This is the TPU form of PovMesh::cluster_biggest_connected_component
+    (PovMesh.cpp:929-987): the same edge criterion as
+    get_non_visited_neighbours (:147-188).
+    """
+    edge_h = jnp.abs(z[:, :-1] - z[:, 1:]) < max_zgap
+    edge_v = jnp.abs(z[:-1, :] - z[1:, :]) < max_zgap
+    return biggest_component_mask(valid, edge_h, edge_v, max_iters)

@@ -1,0 +1,91 @@
+"""Matching-cost construction for dense stereo.
+
+The reference relies on cv::StereoSGBM's Birchfield-Tomasi + SAD-window
+cost (/root/reference/src/wass_stereo/wass_stereo.cpp:777-837).  On TPU we
+use the census transform + Hamming distance: it is illumination-robust
+(important on specular sea surfaces), integer-only, and maps onto the VPU
+as pure bitwise ops + jax.lax.population_count — no windowed SAD gathers.
+
+Layout: cost volumes are (H, W, D) with the disparity axis innermost
+(lane dimension, a multiple of 128 for clean tiling).
+
+Disparity convention follows the reference (wass_stereo.cpp:820-837 and the
+xl reconstruction at :1180): the *right* rectified image is the matching
+base; pixel (y, x) of the right image matches (y, x - d) of the left image
+for disparity d in [min_disparity, min_disparity + D).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def census_transform(img: jnp.ndarray, win: Tuple[int, int] = (7, 9)) -> jnp.ndarray:
+    """Census transform with a win=(wy, wx) window, packed into uint32 words.
+
+    Returns (H, W, n_words) uint32 where n_words = ceil((wy*wx - 1) / 32).
+    Border pixels compare against zero-padded neighbors (they are discarded
+    downstream by the validity ROI anyway).
+    """
+    wy, wx = win
+    assert wy % 2 == 1 and wx % 2 == 1
+    ry, rx = wy // 2, wx // 2
+    H, W = img.shape
+    p = jnp.pad(img, ((ry, ry), (rx, rx)))
+    center = img
+    bits = []
+    for dy in range(wy):
+        for dx in range(wx):
+            if dy == ry and dx == rx:
+                continue
+            bits.append(p[dy : dy + H, dx : dx + W] < center)
+    n_words = (len(bits) + 31) // 32
+    words = []
+    for w in range(n_words):
+        acc = jnp.zeros((H, W), jnp.uint32)
+        for i, b in enumerate(bits[w * 32 : (w + 1) * 32]):
+            acc = acc | (b.astype(jnp.uint32) << jnp.uint32(i))
+        words.append(acc)
+    return jnp.stack(words, axis=-1)
+
+
+def hamming(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Summed popcount over census words; uint8 output (<= 64 bits)."""
+    x = jax.lax.population_count(a ^ b)
+    return jnp.sum(x, axis=-1).astype(jnp.uint8)
+
+
+def census_cost_volume(
+    census_base: jnp.ndarray,
+    census_match: jnp.ndarray,
+    num_disp: int,
+    min_disp: int = 0,
+) -> jnp.ndarray:
+    """Full (H, W, D) uint8 cost volume.
+
+    cost[y, x, j] = hamming(base[y, x], match[y, x - (min_disp + j)]).
+    Out-of-image matches get the maximal cost (census bit width), so they
+    never win the WTA.
+    """
+    H, W, nw = census_base.shape
+    nbits = 0
+    # Upper bound of the hamming distance = number of census bits.
+    # (wy*wx - 1); reconstruct from packing: conservative 32*nw.
+    max_cost = jnp.uint8(min(32 * nw, 255))
+
+    def cost_for_disp(j):
+        d = min_disp + j
+        shifted = jnp.roll(census_match, d, axis=1)
+        c = hamming(census_base, shifted)
+        xx = jnp.arange(W)[None, :]
+        valid = xx - d >= 0
+        return jnp.where(valid, c, max_cost)
+
+    # Build along the D axis; vectorized over j via vmap then transposed to
+    # innermost layout.  XLA fuses the rolls into gathers.
+    vols = jax.vmap(cost_for_disp)(jnp.arange(num_disp))  # (D, H, W)
+    return jnp.transpose(vols, (1, 2, 0))  # (H, W, D)
