@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark: dense stereo frames/s/chip vs the reference's ~30 s/frame.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The headline config mirrors the reference design point (3 MPixel stereo
+pair, SURVEY.md §6 / BASELINE.md): a synthetic 2048x1536 wave-field pair,
+256 disparities, full dense pipeline (SGM aggregation over 8 paths,
+disparity filtering, per-pixel triangulation, z-gap outlier removal,
+RANSAC + refined sea-plane fit).  Baseline: the reference reconstructs a
+3 MP pair in ~30 s single-threaded
+(/root/reference/doc/src/render/index.html.md:70) => 0.0333 frames/s.
+
+Run on the TPU (default session backend).  Set WASS_BENCH_SMALL=1 for a
+reduced-size smoke run.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    small = os.environ.get("WASS_BENCH_SMALL", "0") == "1"
+    if small:
+        W, H, D = 512, 384, 64
+    else:
+        W, H, D = 2048, 1536, 256
+
+    import jax
+    import jax.numpy as jnp
+
+    from wass_tpu.stereo.dense import (
+        DenseStereoConfig,
+        dense_stereo_device,
+        prepare_frame_geometry,
+        rectify_on_device,
+    )
+    from wass_tpu.testing import make_scene
+
+    t_setup = time.time()
+    sc = make_scene(seed=7, width=W, height=H, wave_amplitude=0.25)
+    rig = sc.rig
+    cfg = DenseStereoConfig(
+        num_disp=D,
+        min_disp=1,
+        plane_ransac_threshold=0.1,
+        plane_max_distance=0.3,
+    )
+    geom = prepare_frame_geometry(rig.K0, rig.K1, rig.R, rig.T, (W, H))
+
+    b_img, m_img = (sc.img0, sc.img1) if geom.base_is_cam0 else (sc.img1, sc.img0)
+    b = jnp.asarray(b_img, jnp.float32)
+    m = jnp.asarray(m_img, jnp.float32)
+
+    rx, ry, rw, rh = geom.roi
+    yy, xx = np.mgrid[0:H, 0:W]
+    roi_mask = (xx >= rx) & (xx < rx + rw) & (yy >= ry) & (yy < ry + rh)
+    if geom.base_is_cam0:
+        R_mb, T_mb = geom.R.T, -geom.R.T @ geom.T
+    else:
+        R_mb, T_mb = geom.R, geom.T
+    geom_pack = {
+        "Hi_base": jnp.asarray(geom.Hi_base, jnp.float32),
+        "Hi_match": jnp.asarray(geom.Hi_match, jnp.float32),
+        "K0": jnp.asarray(geom.K0, jnp.float32),
+        "K1": jnp.asarray(geom.K1, jnp.float32),
+        "R": jnp.asarray(geom.R, jnp.float32),
+        "T": jnp.asarray(geom.T, jnp.float32),
+        "R_mb": jnp.asarray(R_mb, jnp.float32),
+        "T_mb": jnp.asarray(T_mb, jnp.float32),
+        "base_is_cam0": jnp.asarray(geom.base_is_cam0),
+        "roi_mask": jnp.asarray(roi_mask),
+    }
+
+    def full_frame(b, m):
+        base_rect = rectify_on_device(b, geom.H_base, (H, W))
+        match_rect = rectify_on_device(m, geom.H_match, (H, W))
+        return dense_stereo_device(base_rect, match_rect, b, m, geom_pack, cfg)
+
+    frame = jax.jit(full_frame)
+
+    print(f"# setup {time.time()-t_setup:.1f}s; compiling {W}x{H} D={D} "
+          f"on {jax.devices()[0].platform}...", file=sys.stderr)
+    t_c = time.time()
+    res = jax.block_until_ready(frame(b, m))
+    print(f"# compile+first-run {time.time()-t_c:.1f}s; "
+          f"n_points={int(res.n_points)} plane_ok={bool(res.plane_ok)}",
+          file=sys.stderr)
+
+    # Timed runs.
+    n_runs = 3 if small else 5
+    times = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        jax.block_until_ready(frame(b, m))
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    fps = 1.0 / dt
+
+    baseline_fps = 1.0 / 30.0  # reference: ~30 s/frame at 3 MP
+    out = {
+        "metric": f"dense_stereo_frames_per_s_per_chip_{W}x{H}_D{D}",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

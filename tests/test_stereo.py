@@ -1,0 +1,144 @@
+"""Dense-stereo stage tests: cost/SGM on known-disparity stereograms, the
+plane fitter on noisy planes, and the full pipeline on a synthetic scene
+against the reference's verify_meshes-style elevation gate
+(/root/reference/test/verify_meshes.m:26-30, relaxed for the small test
+resolution — the full-scale gate runs in the benchmark)."""
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wass_tpu.stereo.cost import census_transform, census_cost_volume
+from wass_tpu.stereo.sgm import sgm_aggregate, sgm_disparity, wta_disparity
+from wass_tpu.stereo.plane import ransac_find_plane, refine_plane, crop_plane
+from wass_tpu.stereo.dense import DenseStereoConfig, dense_stereo_frame
+from wass_tpu.testing import make_scene
+
+
+def shifted_stereogram(rng, h=96, w=160, dmax=24):
+    """Random-dot pair with a known smooth disparity field.
+
+    base(y, x) = match(y, x - d(y, x)) per the base/match convention.
+    """
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    d = 6 + 5 * np.sin(xx / 37.0) * np.cos(yy / 23.0) + 6 * (yy / h)
+    tex = rng.random((h, w + dmax + 8)).astype(np.float32)
+    tex = cv2.GaussianBlur(tex, (0, 0), 1.0)
+    tex = (tex - tex.min()) / (tex.max() - tex.min()) * 220 + 20
+    match = tex[:, : w]
+    sample_x = (xx - d + dmax + 4)
+    base = np.zeros((h, w), np.float32)
+    x0 = np.floor(sample_x).astype(int)
+    f = (sample_x - x0).astype(np.float32)
+    base = tex[yy, x0 - dmax - 4 + dmax + 4] * 0  # init
+    base = (1 - f) * tex[yy, x0] + f * tex[yy, x0 + 1]
+    # match image must be the unshifted texture at the same coords offset:
+    match = tex[:, dmax + 4 : dmax + 4 + w]
+    return base.astype(np.float32), match, d.astype(np.float32)
+
+
+class TestCensusSGM:
+    def test_census_shapes(self, rng):
+        img = rng.random((32, 48)).astype(np.float32)
+        c = census_transform(jnp.asarray(img), (5, 5))
+        assert c.shape == (32, 48, 1)
+        c2 = census_transform(jnp.asarray(img), (7, 9))
+        assert c2.shape == (32, 48, 2)
+
+    def test_cost_volume_zero_at_true_disparity(self, rng):
+        base, match, d = shifted_stereogram(rng)
+        cb = census_transform(jnp.asarray(base), (5, 5))
+        cm = census_transform(jnp.asarray(match), (5, 5))
+        vol = np.asarray(census_cost_volume(cb, cm, 24, 0))
+        h, w = base.shape
+        # At integer-disparity pixels the cost should be near zero.
+        ints = np.abs(d - np.round(d)) < 0.05
+        ints[:, :30] = False  # stay clear of the border
+        ys, xs = np.where(ints)
+        costs = vol[ys, xs, np.round(d[ys, xs]).astype(int)]
+        assert np.median(costs) <= 2
+
+    def test_sgm_recovers_disparity(self, rng):
+        base, match, d = shifted_stereogram(rng)
+        disp = np.asarray(
+            sgm_disparity(jnp.asarray(base), jnp.asarray(match), num_disp=24, min_disp=0, census_win=(5, 5))
+        )
+        inner = np.zeros_like(d, bool)
+        inner[8:-8, 30:-8] = True
+        err = np.abs(disp - d)[inner & (disp > 0)]
+        assert np.median(err) < 0.5
+        assert (err < 1.0).mean() > 0.9
+
+    def test_sgm_beats_wta(self, rng):
+        """Aggregation should beat raw WTA on a weakly textured pair."""
+        base, match, d = shifted_stereogram(rng)
+        noisy_b = base + rng.standard_normal(base.shape).astype(np.float32) * 12
+        noisy_m = match + rng.standard_normal(match.shape).astype(np.float32) * 12
+        cb = census_transform(jnp.asarray(noisy_b), (5, 5))
+        cm = census_transform(jnp.asarray(noisy_m), (5, 5))
+        vol = census_cost_volume(cb, cm, 24, 0)
+        raw = np.asarray(jnp.argmin(vol.astype(jnp.int32), -1))
+        agg = sgm_aggregate(vol, P1=8, P2=96, directions=8)
+        disp = np.asarray(wta_disparity(agg, 0))
+        inner = np.zeros_like(d, bool)
+        inner[8:-8, 30:-8] = True
+        err_raw = np.abs(raw - d)[inner]
+        err_sgm = np.abs(disp - d)[inner & (disp > 0)]
+        assert np.median(err_sgm) < np.median(err_raw)
+        assert (err_sgm < 1).mean() > 0.8
+
+
+class TestPlane:
+    def test_ransac_plane_with_outliers(self, rng):
+        H, W = 64, 96
+        n = np.array([0.1, 0.85, 0.5])
+        n /= np.linalg.norm(n)
+        d = -7.5
+        xy = rng.uniform(-5, 5, (H, W, 2))
+        pts = np.concatenate([xy, ((-d - xy @ n[:2]) / n[2])[..., None]], -1)
+        noise = rng.standard_normal((H, W)) * 0.02
+        pts += noise[..., None] * n
+        out_mask = rng.random((H, W)) < 0.25
+        pts[out_mask] += rng.uniform(1, 5, (out_mask.sum(), 1)) * n
+        valid = rng.random((H, W)) < 0.9
+        fit = ransac_find_plane(jnp.asarray(pts, jnp.float32), jnp.asarray(valid), jax.random.PRNGKey(0), 400, 0.1)
+        assert bool(fit.ok)
+        est = np.asarray(fit.plane)
+        assert abs(np.dot(est[:3], n)) > 0.999
+        assert abs(est[3] - d) < 0.05
+        # Refinement after cropping should tighten the estimate.
+        v2 = np.asarray(crop_plane(fit.plane, jnp.asarray(pts, jnp.float32), jnp.asarray(valid), 0.1))
+        ref = np.asarray(refine_plane(jnp.asarray(pts, jnp.float32), jnp.asarray(v2)))
+        assert abs(np.dot(ref[:3], n)) > 0.9995
+
+
+@pytest.mark.slow
+class TestDensePipeline:
+    def test_end_to_end_synthetic(self):
+        sc = make_scene(seed=1, width=384, height=288, wave_amplitude=0.25)
+        rig = sc.rig
+        cfg = DenseStereoConfig(
+            num_disp=64, min_disp=1, plane_ransac_threshold=0.1, plane_max_distance=0.3
+        )
+        res, geom = dense_stereo_frame(sc.img0, sc.img1, rig.K0, rig.K1, rig.R, rig.T, cfg)
+        valid = np.asarray(res.valid)
+        pts = np.asarray(res.points)
+        # Coverage: most of the frame reconstructs (the density gate scales
+        # with resolution; >60% of pixels here).
+        assert int(res.n_points) > 0.6 * valid.size
+        assert bool(res.plane_ok)
+        # Plane accuracy vs ground truth.
+        est = np.asarray(res.plane)
+        gt = rig.plane_cam0()
+        gt_scaled = gt.copy()
+        gt_scaled[3] /= rig.baseline
+        assert abs(np.dot(est[:3], gt[:3])) > 0.995
+        assert abs(est[3] - gt_scaled[3]) < 0.2
+        # Elevation accuracy (verify_meshes.m style, trimmed mean), relaxed
+        # ~2x for the low test resolution (focal ~420 px vs ~2800 real).
+        err = sc.eta_cam0(pts[valid] * rig.baseline) / rig.baseline
+        ae = np.sort(np.abs(err))
+        trimmed = ae[: int(len(ae) * 0.999)]
+        assert trimmed.mean() < 0.04

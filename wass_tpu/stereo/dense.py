@@ -1,0 +1,409 @@
+"""The dense stereo stage: rectify -> SGM -> filter -> triangulate -> plane.
+
+This is the wass_stereo equivalent (call stack SURVEY.md §3.4, reference
+main sequence /root/reference/src/wass_stereo/wass_stereo.cpp:1976-2135),
+re-architected as one jittable device program per frame plus a thin host
+wrapper that computes rectifying homographies (float64 numpy) and performs
+file IO.
+
+Conventions (differ deliberately from the reference's mutable left/right
+swapping — see docs/design.md):
+  * Cameras are always cam0 / cam1 with x_c1 = R x_c0 + T; every output
+    (mesh, plane) lives in the *cam0* frame, like an unswapped reference run.
+  * base / match: the rectified image roles.  base is the image whose pixel
+    grid we iterate (the reference's "right", wass_stereo.cpp:837), match is
+    sampled at x - d: base(y, x) ~ match(y, x - d), d > 0.  Roles are chosen
+    from the baseline sign exactly like the reference's auto left-right
+    swap (wass_stereo.cpp:478-491).
+  * T is rescaled to a configurable baseline norm (default 1) like
+    load_data (wass_stereo.cpp:360-370), so all 3D outputs are in baseline
+    units.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wass_tpu.core.geometry import homogeneous_transform
+from wass_tpu.core.rectify import stereo_rectify_homographies
+from wass_tpu.core.triangulate import triangulate_normalized
+from wass_tpu.ops.morphology import dilate_zero, erode_zero, median_filter, sobel
+from wass_tpu.ops.sampling import warp_homography, resize
+from wass_tpu.ops.components import biggest_component_mask, zgap_component_mask
+from wass_tpu.stereo.sgm import sgm_disparity
+from wass_tpu.stereo.plane import PlaneFit, ransac_find_plane, refine_plane, crop_plane
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseStereoConfig:
+    """Static configuration (hashable: it is a jit static argument).
+
+    Field defaults mirror the reference's INCFG defaults
+    (wass_stereo.cpp:742-761, 52-84, 1030-1037) with census-cost penalties
+    in place of SGBM's SAD-scaled P1/P2.
+    """
+
+    num_disp: int = 256
+    min_disp: int = 1
+    p1: int = 8
+    p2: int = 96
+    directions: int = 8
+    census_win: Tuple[int, int] = (7, 9)
+    uniqueness_ratio: int = 1
+    lr_max_diff: int = -1
+    dense_scale: float = 1.0
+    disp_dilate_steps: int = 1
+    disp_erosion_steps: int = 2
+    median_filter_wsize: int = 0
+    biggest_component_grad_threshold: float = 0.0  # 0 disables
+    min_angle_deg: float = 20.0
+    cam_distance: float = 1.0
+    discard_burned: bool = True
+    zgap_percentile: float = 99.0
+    plane_ransac_rounds: int = 400
+    plane_ransac_threshold: float = 1.0
+    plane_max_distance: float = 1.5
+    plane_refine_max_distance: float = 70.0
+    plane_weight_by_distance: bool = True
+    min_triangulated: int = 100
+    random_seed: int = 0
+
+
+class DenseFrameResult(NamedTuple):
+    points: jnp.ndarray  # (H, W, 3) cam0-frame points on the base grid
+    valid: jnp.ndarray  # (H, W) final validity mask
+    plane: jnp.ndarray  # (4,) refined plane in cam0 frame
+    plane_ok: jnp.ndarray  # bool
+    disparity: jnp.ndarray  # (H, W) filtered disparity (diagnostic)
+    n_points: jnp.ndarray  # int: valid points after outlier removal
+
+
+# --------------------------------------------------------------------------
+# Host-side geometry setup
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class FrameGeometry:
+    """Per-frame rectification data (host, float64)."""
+
+    H_base: np.ndarray
+    H_match: np.ndarray
+    Hi_base: np.ndarray
+    Hi_match: np.ndarray
+    roi: Tuple[int, int, int, int]
+    base_is_cam0: bool
+    R: np.ndarray  # cam0 -> cam1, baseline-normalized
+    T: np.ndarray
+    K0: np.ndarray
+    K1: np.ndarray
+
+
+def prepare_frame_geometry(
+    K0: np.ndarray,
+    K1: np.ndarray,
+    R: np.ndarray,
+    T: np.ndarray,
+    image_size: Tuple[int, int],
+    cam_distance: float = 1.0,
+    angle_deg: float = 0.0,
+) -> FrameGeometry:
+    """Baseline normalization + role selection + rectifying homographies."""
+    R = np.asarray(R, np.float64)
+    T = np.asarray(T, np.float64).reshape(3)
+    T = T / np.linalg.norm(T) * cam_distance  # load_data T rescale (:360-370)
+    C1_in_0 = -R.T @ T  # cam1 center in cam0 frame
+
+    if C1_in_0[0] > 0:
+        # cam1 sits in +x of cam0: cam0 sees content shifted right => cam0
+        # is the base ("right" in reference terms after its auto-swap).
+        base_is_cam0 = True
+        res = stereo_rectify_homographies(K0, K1, R.T, C1_in_0, image_size, angle_deg=angle_deg)
+        H_base, H_match = res.HL, res.HR
+    else:
+        base_is_cam0 = False
+        res = stereo_rectify_homographies(K1, K0, R, T, image_size, angle_deg=angle_deg)
+        H_base, H_match = res.HL, res.HR
+
+    return FrameGeometry(
+        H_base=H_base,
+        H_match=H_match,
+        Hi_base=np.linalg.inv(H_base),
+        Hi_match=np.linalg.inv(H_match),
+        roi=res.roi,
+        base_is_cam0=base_is_cam0,
+        R=R,
+        T=T,
+        K0=np.asarray(K0, np.float64),
+        K1=np.asarray(K1, np.float64),
+    )
+
+
+# --------------------------------------------------------------------------
+# Device-side stages
+# --------------------------------------------------------------------------
+
+
+def disparity_postprocess(disp: jnp.ndarray, cfg: DenseStereoConfig) -> jnp.ndarray:
+    """The reference's disparity cleanup chain (wass_stereo.cpp:853-991):
+    dilate / erode (zero-aware), optional scale-up with the NN+cubic
+    validity trick, optional median, optional biggest-component filter."""
+    for _ in range(cfg.disp_dilate_steps):
+        disp = dilate_zero(disp)
+    for _ in range(cfg.disp_erosion_steps):
+        disp = erode_zero(disp)
+
+    if cfg.dense_scale != 1.0:
+        H, W = disp.shape
+        full = (round(H / cfg.dense_scale), round(W / cfg.dense_scale))
+        nn = resize(disp, full, interp="nearest")
+        cub = resize(disp, full, interp="cubic")
+        nn = erode_zero(nn)
+        disp = jnp.where(nn == 0, 0.0, cub) / cfg.dense_scale
+
+    if cfg.median_filter_wsize >= 3:
+        disp = median_filter(disp, cfg.median_filter_wsize)
+
+    if cfg.biggest_component_grad_threshold > 0:
+        gx = sobel(disp, 0)
+        gy = sobel(disp, 1)
+        gmag = gx * gx + gy * gy
+        disp = jnp.where(gmag > cfg.biggest_component_grad_threshold, 0.0, disp)
+        keep = biggest_component_mask(disp != 0)
+        disp = jnp.where(keep, disp, 0.0)
+
+    return disp
+
+
+def triangulate_dense(
+    disp: jnp.ndarray,
+    geom_pack: dict,
+    base_img: jnp.ndarray,
+    match_img: jnp.ndarray,
+    cfg: DenseStereoConfig,
+):
+    """Per-pixel triangulation with the reference's validity gates
+    (wass_stereo.cpp:1173-1373) as one masked batch.
+
+    geom_pack carries device arrays: Hi_base, Hi_match (3,3), K0, K1 (3,3),
+    R (3,3), T (3), base_is_cam0 (bool), roi mask (H, W).
+    """
+    H, W = disp.shape
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
+
+    valid = disp > cfg.min_disp
+    valid = valid & geom_pack["roi_mask"]
+
+    xm = xx - disp  # match-image x coordinate
+    valid = valid & (xm >= 0) & (xm < W)
+
+    # Unrectify both coordinates (homography route; both rectification
+    # methods are expressed as homographies on undistorted inputs).
+    uv_base = homogeneous_transform(geom_pack["Hi_base"], jnp.stack([xx, yy], -1))
+    uv_match = homogeneous_transform(geom_pack["Hi_match"], jnp.stack([xm, yy], -1))
+
+    # In-image gates (1px margin, :1223-1228).
+    for uv in (uv_base, uv_match):
+        valid = valid & (uv[..., 0] >= 1) & (uv[..., 0] < W - 1) & (uv[..., 1] >= 1) & (uv[..., 1] < H - 1)
+
+    # Burned-pixel masks (:1069-1093, DISCARD_BURNED_AREAS).
+    if cfg.discard_burned:
+        def sample_nn(img, uv):
+            xi = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, W - 1)
+            yi = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, H - 1)
+            return img[yi, xi]
+
+        valid = valid & (sample_nn(base_img, uv_base) <= 254.0)
+        valid = valid & (sample_nn(match_img, uv_match) <= 254.0)
+
+    # Normalized coordinates: p in cam0, q in cam1 (roles by base_is_cam0).
+    K0 = geom_pack["K0"]
+    K1 = geom_pack["K1"]
+    base_is_cam0 = geom_pack["base_is_cam0"]
+    uv0 = jnp.where(base_is_cam0, uv_base, uv_match)
+    uv1 = jnp.where(base_is_cam0, uv_match, uv_base)
+    p = jnp.stack(
+        [(uv0[..., 0] - K0[0, 2]) / K0[0, 0], (uv0[..., 1] - K0[1, 2]) / K0[1, 1]], -1
+    )
+    q = jnp.stack(
+        [(uv1[..., 0] - K1[0, 2]) / K1[0, 0], (uv1[..., 1] - K1[1, 2]) / K1[1, 1]], -1
+    )
+
+    R = geom_pack["R"]
+    T = geom_pack["T"]
+
+    # Angle gate (:1257-1269).  The reference computes
+    #   d1 = normalize([p_left, 1]),  d2 = normalize(R [q_right, 1] + T)
+    # with (R, T) = left->right a.k.a. match->base; this is *not* the ray
+    # parallax angle (which would be ~ baseline/distance, a few degrees) but
+    # a baseline-mixed heuristic — reproduced literally so the reference's
+    # TRIANG_MIN_ANGLE default keeps its meaning.
+    p_match = jnp.where(geom_pack["base_is_cam0"], q, p)
+    q_base = jnp.where(geom_pack["base_is_cam0"], p, q)
+    R_mb = geom_pack["R_mb"]
+    T_mb = geom_pack["T_mb"]
+    d1 = jnp.concatenate([p_match, jnp.ones_like(p_match[..., :1])], -1)
+    d1 = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 = jnp.concatenate([q_base, jnp.ones_like(q_base[..., :1])], -1) @ R_mb.T + T_mb
+    d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+    ang = jnp.degrees(jnp.arccos(jnp.clip(jnp.sum(d1 * d2, -1), -1.0, 1.0)))
+    if cfg.min_angle_deg > 0:
+        valid = valid & (jnp.abs(ang) >= cfg.min_angle_deg)
+
+    pts = triangulate_normalized(p, q, R, T)
+
+    # Distance gates (:1327-1340) in baseline units.
+    dist = jnp.linalg.norm(pts, axis=-1)
+    valid = valid & (dist >= cfg.cam_distance / 10.0) & (pts[..., 2] >= 1.0)
+    valid = valid & (dist <= cfg.cam_distance * 200.0) & (pts[..., 2] < 1e30)
+
+    return pts, valid
+
+
+def outlier_removal(pts: jnp.ndarray, valid: jnp.ndarray, cfg: DenseStereoConfig):
+    """Z-gap percentile + biggest z-gap-gated component
+    (compute_zgap_percentile PovMesh.cpp:888-927 + cluster :929-987)."""
+    z = pts[..., 2]
+    gaps = []
+    vz = jnp.where(valid, z, jnp.nan)
+    # Upper-row neighbor gaps (A, B, C = up-left, up, up-right).
+    for dx in (-1, 0, 1):
+        shifted = jnp.roll(vz, (1, -dx), axis=(0, 1))
+        g = jnp.abs(vz - shifted)
+        g = g.at[0, :].set(jnp.nan)
+        if dx == -1:
+            g = g.at[:, -1].set(jnp.nan)
+        elif dx == 1:
+            g = g.at[:, 0].set(jnp.nan)
+        gaps.append(g)
+    allgaps = jnp.stack(gaps)
+    zgap = jnp.nanpercentile(allgaps, cfg.zgap_percentile)
+    keep = zgap_component_mask(z, valid, zgap)
+    return keep, zgap
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def dense_stereo_device(
+    base_rect: jnp.ndarray,
+    match_rect: jnp.ndarray,
+    base_img: jnp.ndarray,
+    match_img: jnp.ndarray,
+    geom_pack: dict,
+    cfg: DenseStereoConfig,
+) -> DenseFrameResult:
+    """The full on-device dense pipeline for one frame pair (rectified
+    images in, cam0-frame point grid + plane out)."""
+    if cfg.dense_scale != 1.0:
+        h, w = base_rect.shape
+        sh, sw = round(h * cfg.dense_scale), round(w * cfg.dense_scale)
+        base_s = resize(base_rect, (sh, sw), interp="cubic")
+        match_s = resize(match_rect, (sh, sw), interp="cubic")
+    else:
+        base_s, match_s = base_rect, match_rect
+
+    disp = sgm_disparity(
+        base_s,
+        match_s,
+        num_disp=cfg.num_disp,
+        min_disp=cfg.min_disp,
+        P1=cfg.p1,
+        P2=cfg.p2,
+        directions=cfg.directions,
+        census_win=cfg.census_win,
+        uniqueness_ratio=cfg.uniqueness_ratio,
+        lr_max_diff=cfg.lr_max_diff,
+    )
+    disp = disparity_postprocess(disp, cfg)
+
+    pts, valid = triangulate_dense(disp, geom_pack, base_img, match_img, cfg)
+    n_tri = jnp.sum(valid)
+
+    keep, zgap = outlier_removal(pts, valid, cfg)
+    valid = valid & keep
+
+    key = jax.random.PRNGKey(cfg.random_seed)
+    fit = ransac_find_plane(
+        pts, valid, key, rounds=cfg.plane_ransac_rounds, distance_threshold=cfg.plane_ransac_threshold
+    )
+    valid_c = crop_plane(fit.plane, pts, valid, cfg.plane_ransac_threshold)
+    plane = refine_plane(
+        pts,
+        valid_c,
+        max_distance=cfg.plane_refine_max_distance,
+        weight_by_distance=cfg.plane_weight_by_distance,
+    )
+    # Final crop with the (looser) max-distance threshold (:2063-2088).
+    valid = crop_plane(plane, pts, valid, cfg.plane_max_distance)
+    valid = jnp.where(fit.ok, valid, valid_c)
+
+    return DenseFrameResult(
+        points=pts,
+        valid=valid,
+        plane=jnp.where(fit.ok, plane, jnp.full(4, jnp.nan)),
+        plane_ok=fit.ok,
+        disparity=disp,
+        n_points=jnp.sum(valid),
+    )
+
+
+# --------------------------------------------------------------------------
+# Host wrapper
+# --------------------------------------------------------------------------
+
+
+def rectify_on_device(img: jnp.ndarray, Hm: np.ndarray, out_shape) -> jnp.ndarray:
+    return warp_homography(img, jnp.asarray(Hm, jnp.float32), out_shape, interp="cubic")
+
+
+def dense_stereo_frame(
+    img0: np.ndarray,
+    img1: np.ndarray,
+    K0: np.ndarray,
+    K1: np.ndarray,
+    R: np.ndarray,
+    T: np.ndarray,
+    cfg: DenseStereoConfig = DenseStereoConfig(),
+) -> Tuple[DenseFrameResult, FrameGeometry]:
+    """Host orchestration for a single frame: geometry (f64 host) + the
+    jitted device pipeline.  img0/img1 are the *undistorted* cam0/cam1
+    images (the wass_prepare outputs)."""
+    H, W = img0.shape
+    geom = prepare_frame_geometry(K0, K1, R, T, (W, H), cam_distance=cfg.cam_distance)
+
+    b_img, m_img = (img0, img1) if geom.base_is_cam0 else (img1, img0)
+    b = jnp.asarray(b_img, jnp.float32)
+    m = jnp.asarray(m_img, jnp.float32)
+    base_rect = rectify_on_device(b, geom.H_base, (H, W))
+    match_rect = rectify_on_device(m, geom.H_match, (H, W))
+
+    rx, ry, rw, rh = geom.roi
+    yy, xx = np.mgrid[0:H, 0:W]
+    roi_mask = (xx >= rx) & (xx < rx + rw) & (yy >= ry) & (yy < ry + rh)
+
+    # match->base rigid transform for the reference's angle-gate formula.
+    if geom.base_is_cam0:
+        R_mb, T_mb = geom.R.T, -geom.R.T @ geom.T  # cam1 -> cam0
+    else:
+        R_mb, T_mb = geom.R, geom.T  # cam0 -> cam1
+
+    geom_pack = {
+        "Hi_base": jnp.asarray(geom.Hi_base, jnp.float32),
+        "Hi_match": jnp.asarray(geom.Hi_match, jnp.float32),
+        "K0": jnp.asarray(geom.K0, jnp.float32),
+        "K1": jnp.asarray(geom.K1, jnp.float32),
+        "R": jnp.asarray(geom.R, jnp.float32),
+        "T": jnp.asarray(geom.T, jnp.float32),
+        "R_mb": jnp.asarray(R_mb, jnp.float32),
+        "T_mb": jnp.asarray(T_mb, jnp.float32),
+        "base_is_cam0": jnp.asarray(geom.base_is_cam0),
+        "roi_mask": jnp.asarray(roi_mask),
+    }
+    result = dense_stereo_device(base_rect, match_rect, b, m, geom_pack, cfg)
+    return result, geom

@@ -73,9 +73,10 @@ class WaveField:
     def random(rng: np.random.Generator, amplitude: float = 0.08, n_waves: int = 24, kmin: float = 0.05, kmax: float = 1.2):
         k = np.exp(rng.uniform(np.log(kmin), np.log(kmax), n_waves))
         theta = rng.normal(0.0, 0.6, n_waves)
-        # Longer waves carry more energy (omnidirectional-ish spectrum).
-        amps = amplitude * (kmin / k) ** 0.8
-        amps *= amplitude / np.sqrt(np.sum(0.5 * amps**2) + 1e-30) * 0.5
+        # Longer waves carry more energy (omnidirectional-ish spectrum);
+        # scaled so std(eta) == amplitude.
+        amps = (kmin / k) ** 0.8
+        amps *= amplitude / np.sqrt(np.sum(0.5 * amps**2) + 1e-30)
         return WaveField(
             amps=amps,
             kx=k * np.cos(theta),
@@ -130,7 +131,7 @@ class SyntheticRig:
         n_w = np.array([0.0, 0.0, 1.0])
         n_c = self.R0 @ n_w
         # plane: n_c . x_c + d = 0 for x_c = R0 x_w + T0 with n_w . x_w = 0
-        d = float(n_c @ self.T0)
+        d = -float(n_c @ self.T0)
         if n_c[2] < 0:
             n_c, d = -n_c, -d
         return np.array([n_c[0], n_c[1], n_c[2], d])
@@ -206,8 +207,8 @@ def _trace_rays(origin: np.ndarray, dirs: np.ndarray, waves: WaveField, iters: i
     for _ in range(iters):
         p = origin[None, None, :] + t[..., None] * dirs
         h = waves.eta(p[..., 0], p[..., 1])
-        # Move along the ray to the surface elevation at current (x, y).
-        t = t + (h - p[..., 2]) / vz * -1.0 * np.sign(-1.0)  # t += (h - pz)/vz
+        # Move along the ray to the surface elevation at the current (x, y).
+        t = t + (h - p[..., 2]) / vz
     return t
 
 
