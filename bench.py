@@ -36,7 +36,8 @@ def main():
 
     from wass_tpu.stereo.dense import (
         DenseStereoConfig,
-        dense_stereo_device,
+        DenseStereoPipeline,
+        build_geom_pack,
         prepare_frame_geometry,
         rectify_on_device,
     )
@@ -56,33 +57,17 @@ def main():
     b_img, m_img = (sc.img0, sc.img1) if geom.base_is_cam0 else (sc.img1, sc.img0)
     b = jnp.asarray(b_img, jnp.float32)
     m = jnp.asarray(m_img, jnp.float32)
+    geom_pack = build_geom_pack(geom, (H, W))
 
-    rx, ry, rw, rh = geom.roi
-    yy, xx = np.mgrid[0:H, 0:W]
-    roi_mask = (xx >= rx) & (xx < rx + rw) & (yy >= ry) & (yy < ry + rh)
-    if geom.base_is_cam0:
-        R_mb, T_mb = geom.R.T, -geom.R.T @ geom.T
-    else:
-        R_mb, T_mb = geom.R, geom.T
-    geom_pack = {
-        "Hi_base": jnp.asarray(geom.Hi_base, jnp.float32),
-        "Hi_match": jnp.asarray(geom.Hi_match, jnp.float32),
-        "K0": jnp.asarray(geom.K0, jnp.float32),
-        "K1": jnp.asarray(geom.K1, jnp.float32),
-        "R": jnp.asarray(geom.R, jnp.float32),
-        "T": jnp.asarray(geom.T, jnp.float32),
-        "R_mb": jnp.asarray(R_mb, jnp.float32),
-        "T_mb": jnp.asarray(T_mb, jnp.float32),
-        "base_is_cam0": jnp.asarray(geom.base_is_cam0),
-        "roi_mask": jnp.asarray(roi_mask),
-    }
+    pipe = DenseStereoPipeline(cfg)
+    warp = jax.jit(lambda img, Hm: rectify_on_device(img, Hm, (H, W)))
+    HbJ = jnp.asarray(geom.H_base, jnp.float32)
+    HmJ = jnp.asarray(geom.H_match, jnp.float32)
 
-    def full_frame(b, m):
-        base_rect = rectify_on_device(b, geom.H_base, (H, W))
-        match_rect = rectify_on_device(m, geom.H_match, (H, W))
-        return dense_stereo_device(base_rect, match_rect, b, m, geom_pack, cfg)
-
-    frame = jax.jit(full_frame)
+    def frame(b, m):
+        base_rect = warp(b, HbJ)
+        match_rect = warp(m, HmJ)
+        return pipe(base_rect, match_rect, b, m, geom_pack)
 
     print(f"# setup {time.time()-t_setup:.1f}s; compiling {W}x{H} D={D} "
           f"on {jax.devices()[0].platform}...", file=sys.stderr)

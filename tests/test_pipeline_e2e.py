@@ -1,0 +1,73 @@
+"""Full-pipeline integration test (the test_pipeline.m equivalent,
+/root/reference/test/test_pipeline.m): synthetic multi-frame sequence ->
+prepare -> match -> autocalibrate -> stereo -> gridded outputs, asserting
+the reference's verification gates at test scale."""
+
+import numpy as np
+import pytest
+
+from wass_tpu.testing import make_scene, make_rig
+from wass_tpu.cli.pipeline import SequencePipeline, SequenceConfig
+from wass_tpu.match.pipeline import MatchConfig
+from wass_tpu.stereo.dense import DenseStereoConfig
+from wass_tpu.io.xyzc import load_camera_mesh
+
+
+@pytest.mark.slow
+class TestSequencePipeline:
+    def test_full_pipeline(self, tmp_path):
+        W, H = 384, 288
+        n_frames = 3
+        rng = np.random.default_rng(11)
+        rig = make_rig(width=W, height=H, rng=rng)
+        scenes = [
+            make_scene(seed=100 + i, width=W, height=H, wave_amplitude=0.25, rig=rig, time=i * 0.2)
+            for i in range(n_frames)
+        ]
+
+        cfg = SequenceConfig(
+            match=MatchConfig(num_features=1200, iidyn_iters=6000, max_rounds=8,
+                              hessian_threshold=3e-5, feature_grid_cell=8),
+            stereo=DenseStereoConfig(num_disp=64, min_disp=1,
+                                     plane_ransac_threshold=0.1, plane_max_distance=0.3),
+        )
+        pipe = SequencePipeline(tmp_path / "seq", cfg)
+
+        # Prepare (no distortion in the synthetic rig).
+        zeros = np.zeros(5)
+        wds = pipe.prepare(
+            [(s.img0, s.img1) for s in scenes], rig.K0, zeros, rig.K1, zeros
+        )
+        assert len(wds) == n_frames
+        for wd in wds:
+            assert wd.undistorted_path(0).exists()
+            assert wd.undistorted_path(1).exists()
+
+        # Match.
+        n_ok = pipe.match()
+        assert n_ok >= 2
+
+        # Autocalibrate: pooled reduction must improve/maintain accuracy.
+        res = pipe.autocalibrate()
+        assert res is not None
+        Tg = rig.T / np.linalg.norm(rig.T)
+        # Calibration gates (verify_matcher.m:7-8) relaxed ~2x for the tiny
+        # test resolution (384px vs 2-5 MP reference frames).
+        assert np.abs(res.R - rig.R).max() < 1e-2
+        assert np.abs(res.T.ravel() - Tg).max() < 4e-2
+
+        # Stereo on all frames.
+        planes = pipe.stereo()
+        assert len(planes) == n_frames
+        assert (tmp_path / "seq" / "output" / "planes.txt").exists()
+
+        # Per-frame point clouds decode through the byte-exact reader and
+        # meet the elevation gate (verify_meshes.m style, relaxed for
+        # resolution).
+        for i, wd in enumerate(pipe.workdirs()):
+            mesh_cam = load_camera_mesh(wd.path / "mesh_cam.xyzC")  # (3, N)
+            assert mesh_cam.shape[1] > 0.3 * W * H
+            err = scenes[i].eta_cam0(mesh_cam.T * rig.baseline) / rig.baseline
+            ae = np.sort(np.abs(err))
+            trimmed = ae[: int(len(ae) * 0.999)]
+            assert trimmed.mean() < 0.06

@@ -1,0 +1,162 @@
+"""Sequence-wide extrinsic auto-calibration (wass_autocalibrate equivalent).
+
+Mirrors the reduction of /root/reference/src/wass_autocalibrate/wass_autocalibrate.cpp:60-394:
+pool the epipolar-filtered matches of every frame, estimate one global
+essential matrix by RANSAC, decompose with a chirality vote, triangulate
+the inliers, refine everything with the Schur-complement LM bundle
+adjustment, renormalize ||T|| = 1, and accept only if the average
+epipolar error improves over the RANSAC initialization (:363-382).
+
+Fixed capacity: matches are pooled into a power-of-two padded buffer with
+a mask, so the whole reduction jits once regardless of sequence length.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wass_tpu.core.epipolar import epipolar_error_stats
+from wass_tpu.core.geometry import skew
+from wass_tpu.core.triangulate import triangulate_normalized
+from wass_tpu.calib.ba import lm_refine_two_view
+from wass_tpu.match.pose import relative_pose_ransac
+
+
+class AutocalResult(NamedTuple):
+    R: np.ndarray  # refined cam0->cam1 rotation
+    T: np.ndarray  # refined translation, unit norm
+    epi_avg_before: float
+    epi_avg_after: float
+    n_inliers: int
+    improved: bool
+
+
+@dataclasses.dataclass(frozen=True)
+class AutocalConfig:
+    ransac_threshold_px: float = 1.5  # :177 (1.5px / focal)
+    ransac_hypotheses: int = 2048
+    max_points: int = 16384  # BA capacity (pooled inliers are subsampled)
+    ba_iters: int = 60
+    seed: int = 0
+
+
+def autocalibrate_pooled(
+    uv0: np.ndarray,
+    uv1: np.ndarray,
+    K0: np.ndarray,
+    K1: np.ndarray,
+    cfg: AutocalConfig = AutocalConfig(),
+) -> Optional[AutocalResult]:
+    """Run the global reduction on pooled pixel matches (M, 2) each."""
+    if len(uv0) < 8:
+        return None
+    K0 = np.asarray(K0, np.float64)
+    K1 = np.asarray(K1, np.float64)
+    K0i = np.linalg.inv(K0)
+    K1i = np.linalg.inv(K1)
+    p0n = (np.c_[uv0, np.ones(len(uv0))] @ K0i.T)[:, :2]
+    p1n = (np.c_[uv1, np.ones(len(uv1))] @ K1i.T)[:, :2]
+
+    cap = int(2 ** np.ceil(np.log2(max(len(p0n), 64))))
+    pad = cap - len(p0n)
+    p0j = jnp.asarray(np.pad(p0n, ((0, pad), (0, 0))), jnp.float32)
+    p1j = jnp.asarray(np.pad(p1n, ((0, pad), (0, 0))), jnp.float32)
+    vj = jnp.asarray(np.pad(np.ones(len(p0n), bool), (0, pad)))
+
+    key = jax.random.PRNGKey(cfg.seed)
+    er = relative_pose_ransac(
+        p0j, p1j, vj, key,
+        threshold=cfg.ransac_threshold_px / K0[0, 0],
+        n_hypotheses=cfg.ransac_hypotheses,
+    )
+    R = np.array(er.R, np.float64)
+    T = np.array(er.T, np.float64)
+
+    # Triangulate inliers, keep points in front (z >= 0, :251-287).
+    pts = np.array(
+        triangulate_normalized(p0j, p1j, jnp.asarray(R, jnp.float32), jnp.asarray(T, jnp.float32))
+    )
+    inl = np.array(er.inliers)
+    good = inl & (pts[:, 2] > 0)
+    good[len(p0n):] = False
+    if good.sum() < 24:
+        return None
+
+    # Epipolar error of the RANSAC initialization (pixel coords).
+    E0 = skew(jnp.asarray(T, jnp.float32)) @ jnp.asarray(R, jnp.float32)
+    F0 = jnp.asarray(K1i.T, jnp.float32) @ E0 @ jnp.asarray(K0i, jnp.float32)
+    uv0j = jnp.asarray(np.pad(uv0.astype(np.float64), ((0, pad), (0, 0))), jnp.float32)
+    uv1j = jnp.asarray(np.pad(uv1.astype(np.float64), ((0, pad), (0, 0))), jnp.float32)
+    gj = jnp.asarray(good)
+    before = epipolar_error_stats(F0, uv0j, uv1j, gj)
+
+    # Subsample to BA capacity.
+    idx = np.flatnonzero(good)
+    rng = np.random.default_rng(cfg.seed)
+    if len(idx) > cfg.max_points:
+        idx = rng.choice(idx, cfg.max_points, replace=False)
+    bcap = int(2 ** np.ceil(np.log2(max(len(idx), 64))))
+    sel = np.zeros(bcap, dtype=np.int64)
+    sel[: len(idx)] = idx
+    bmask = np.zeros(bcap, bool)
+    bmask[: len(idx)] = True
+
+    ba = lm_refine_two_view(
+        jnp.asarray(R, jnp.float32),
+        jnp.asarray(T, jnp.float32),
+        jnp.asarray(pts[sel], jnp.float32),
+        p0j[jnp.asarray(sel)],
+        p1j[jnp.asarray(sel)],
+        jnp.asarray(bmask),
+        max_iters=cfg.ba_iters,
+    )
+    R_ba = np.array(ba.R, np.float64)
+    T_ba = np.array(ba.T, np.float64)
+    T_ba = T_ba / np.linalg.norm(T_ba)  # :330-335
+
+    E1 = skew(jnp.asarray(T_ba, jnp.float32)) @ jnp.asarray(R_ba, jnp.float32)
+    F1 = jnp.asarray(K1i.T, jnp.float32) @ E1 @ jnp.asarray(K0i, jnp.float32)
+    after = epipolar_error_stats(F1, uv0j, uv1j, gj)
+
+    improved = float(after.avg) < float(before.avg)
+    Rf, Tf = (R_ba, T_ba) if improved else (R, T)
+    return AutocalResult(
+        R=Rf,
+        T=Tf.reshape(3, 1),
+        epi_avg_before=float(before.avg),
+        epi_avg_after=float(after.avg),
+        n_inliers=int(good.sum()),
+        improved=improved,
+    )
+
+
+def autocalibrate_sequence(workdirs: Sequence, cfg: AutocalConfig = AutocalConfig()) -> Optional[AutocalResult]:
+    """File-contract front end: pool matches_epionly.txt from every frame
+    workdir (:119-160), run the reduction, and broadcast refined ext_R /
+    ext_T back to all workdirs (:366-377) when improved."""
+    uv0_all, uv1_all = [], []
+    K0 = K1 = None
+    for wd in workdirs:
+        try:
+            if K0 is None:
+                K0 = wd.load_intrinsics(0)
+                K1 = wd.load_intrinsics(1)
+            a, b = wd.load_matches("matches_epionly.txt")
+            uv0_all.append(a)
+            uv1_all.append(b)
+        except FileNotFoundError:
+            continue
+    if not uv0_all or K0 is None:
+        return None
+    uv0 = np.concatenate(uv0_all)
+    uv1 = np.concatenate(uv1_all)
+    res = autocalibrate_pooled(uv0, uv1, K0, K1, cfg)
+    if res is not None and res.improved:
+        for wd in workdirs:
+            wd.save_extrinsics(res.R, res.T)
+    return res

@@ -1,0 +1,138 @@
+"""Two-view sparse bundle adjustment: autodiff LM with a Schur complement.
+
+Replaces the reference's libsba + Maple-generated analytic Jacobians
+(sba_driver, /root/reference/src/wass_autocalibrate/sba_driver.cpp:281-643,
+sba_motstr_levmar_x call :773-777) with a TPU-shaped design:
+
+* camera 0 is gauge-fixed at the identity; the free parameters are camera
+  1's local rotation increment (so(3)) + translation, plus the 3D points;
+* per-point residuals/Jacobians come from jax.jacfwd, vmapped over the
+  point batch — no hand-derived Jacobians;
+* the normal equations are solved by the standard motion/structure Schur
+  complement: point blocks are batched closed-form 3x3 inverses, the
+  reduced 6x6 camera system is dense;
+* the LM loop is a lax.while_loop with multiplicative damping.
+
+The structure reductions (H_cc, H_cp-weighted accumulations) are plain
+masked sums over the point axis — on a multi-host mesh the same code runs
+point-sharded with a jax.lax.psum over those sums (see
+wass_tpu/parallel/distba.py), which is the "distributed Schur-complement
+BA" of BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from wass_tpu.core.geometry import rodrigues, solve3x3
+
+
+class BAResult(NamedTuple):
+    R: jnp.ndarray  # (3, 3) refined cam0->cam1 rotation
+    T: jnp.ndarray  # (3,) refined translation (NOT renormalized)
+    X: jnp.ndarray  # (N, 3) refined points
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    n_iters: jnp.ndarray
+
+
+def _point_residual(cam: jnp.ndarray, R0: jnp.ndarray, X: jnp.ndarray, p0: jnp.ndarray, p1: jnp.ndarray):
+    """Residual (4,) of one point observed in both cameras.
+
+    cam = (w[3], T[3]): R = rodrigues(w) @ R0.  Normalized image coords.
+    """
+    w = cam[:3]
+    T = cam[3:]
+    R = rodrigues(w) @ R0
+    r0 = X[:2] / X[2] - p0
+    X1 = R @ X + T
+    r1 = X1[:2] / X1[2] - p1
+    return jnp.concatenate([r0, r1])
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def lm_refine_two_view(
+    R_init: jnp.ndarray,
+    T_init: jnp.ndarray,
+    X_init: jnp.ndarray,
+    p0: jnp.ndarray,
+    p1: jnp.ndarray,
+    mask: jnp.ndarray,
+    max_iters: int = 50,
+    lam0: float = 1e-3,
+) -> BAResult:
+    """LM refinement of (R, T, X) minimizing masked reprojection error.
+
+    Args:
+      R_init, T_init: initial cam0->cam1 extrinsics.
+      X_init: (N, 3) initial points (cam0 frame).
+      p0, p1: (N, 2) normalized observations.
+      mask: (N,) bool; padded slots are False.
+    """
+    N = X_init.shape[0]
+    m = mask.astype(jnp.float32)
+
+    jac = jax.vmap(jax.jacfwd(_point_residual, argnums=(0, 2)), in_axes=(None, None, 0, 0, 0))
+    res_fn = jax.vmap(_point_residual, in_axes=(None, None, 0, 0, 0))
+
+    def cost(cam, R0, X):
+        r = res_fn(cam, R0, X, p0, p1)
+        return jnp.sum(r * r * m[:, None])
+
+    def lm_step(state):
+        cam, R0, X, lam, it, c_prev, done = state
+        r = res_fn(cam, R0, X, p0, p1)  # (N, 4)
+        Jc, Jp = jac(cam, R0, X, p0, p1)  # (N, 4, 6), (N, 4, 3)
+        w = m[:, None, None]
+        JcT = jnp.swapaxes(Jc, 1, 2) * jnp.swapaxes(w, 1, 2)
+
+        # Blocks of the normal equations.
+        Jp_w = Jp * w
+        A = jnp.einsum("nik,nkj->ij", JcT, Jc)  # (6, 6)
+        B = jnp.einsum("nik,nkj->nij", JcT, Jp)  # (N, 6, 3)
+        C = jnp.einsum("nki,nkj->nij", Jp_w, Jp)  # (N, 3, 3)
+        g_c = -jnp.einsum("nik,nk->i", JcT, r)
+        g_p = -jnp.einsum("nki,nk->ni", Jp_w, r)
+
+        # Damping.
+        A_d = A + lam * jnp.diag(jnp.diag(A) + 1e-12)
+        C_d = C + lam * (C * jnp.eye(3) + 1e-12 * jnp.eye(3))
+
+        # Invert point blocks in closed form (batched).
+        Ci = jnp.linalg.inv(C_d + (1.0 - m)[:, None, None] * jnp.eye(3))
+        Ci = Ci * m[:, None, None]
+
+        # Schur complement onto the camera block.
+        BCi = jnp.einsum("nij,njk->nik", B, Ci)
+        S = A_d - jnp.einsum("nik,njk->ij", BCi, B)
+        rhs = g_c - jnp.einsum("nik,nk->i", BCi, g_p)
+        dc = jnp.linalg.solve(S, rhs)
+        dX = jnp.einsum("nij,nj->ni", Ci, g_p - jnp.einsum("nji,j->ni", B, dc))
+
+        cam_new = cam + dc
+        X_new = X + dX
+        c_new = cost(cam_new, R0, X_new)
+        accept = c_new < c_prev
+        cam = jnp.where(accept, cam_new, cam)
+        X = jnp.where(accept, X_new, X)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 5.0, 1e6))
+        c_next = jnp.where(accept, c_new, c_prev)
+        rel = jnp.abs(c_prev - c_next) / jnp.maximum(c_prev, 1e-20)
+        done = (~accept & (lam >= 1e6)) | (accept & (rel < 1e-10))
+        return cam, R0, X, lam, it + 1, c_next, done
+
+    def cond(state):
+        _, _, _, _, it, _, done = state
+        return (it < max_iters) & ~done
+
+    cam0 = jnp.concatenate([jnp.zeros(3, X_init.dtype), T_init.reshape(3)])
+    c0 = cost(cam0, R_init, X_init)
+    state = (cam0, R_init, X_init, jnp.asarray(lam0, X_init.dtype), jnp.int32(0), c0, False)
+    cam, R0, X, lam, it, c_final, _ = jax.lax.while_loop(cond, lm_step, state)
+
+    R = rodrigues(cam[:3]) @ R0
+    return BAResult(R=R, T=cam[3:], X=X, initial_cost=c0, final_cost=c_final, n_iters=it)

@@ -28,14 +28,21 @@ def skew(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:
-    """Axis-angle vector -> rotation matrix (cv::Rodrigues forward)."""
-    theta = jnp.linalg.norm(rvec, axis=-1, keepdims=True)
-    # Safe normalize: for theta ~ 0 the sin/cos terms vanish quadratically.
-    axis = rvec / jnp.where(theta > 1e-12, theta, 1.0)
-    K = skew(axis)
-    t = theta[..., None]
+    """Axis-angle vector -> rotation matrix (cv::Rodrigues forward).
+
+    Written on the *unnormalized* vector, R = I + A [r]x + B [r]x^2 with
+    A = sin(t)/t and B = (1-cos(t))/t^2, switching to Taylor series near
+    t = 0 via the double-where trick — smooth and NaN-free under autodiff
+    at the identity (the BA linearization point)."""
+    t2 = jnp.sum(rvec * rvec, axis=-1)
+    small = t2 < 1e-10
+    safe_t2 = jnp.where(small, 1.0, t2)
+    t = jnp.sqrt(safe_t2)
+    A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t) / t)
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t)) / safe_t2)
+    K = skew(rvec)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
-    return eye + jnp.sin(t) * K + (1.0 - jnp.cos(t)) * (K @ K)
+    return eye + A[..., None, None] * K + B[..., None, None] * (K @ K)
 
 
 def inv_rodrigues(R: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,190 @@
+"""The sparse matching stage (wass_match equivalent).
+
+Orchestrates: feature detection on both undistorted frames -> MXU kNN
+candidates -> game-theoretic match rounds -> essential-matrix RANSAC on
+normalized coordinates -> pose recovery -> epipolar-error statistics
+(call stack SURVEY.md §3.2 /
+/root/reference/src/wass_match/wass_match.cpp:97-375).
+
+Outputs mirror the reference's workdir contract: ext_R / ext_T (x1 = R x0
++ T with |T| = 1 from recoverPose), matches.txt (pose inliers),
+matches_epionly.txt (epipolar inliers), matcher_stats.csv.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wass_tpu.core.epipolar import epipolar_error_stats
+from wass_tpu.match.features import FeatureSet, detect_features
+from wass_tpu.match.matcher import generate_candidates, gt_match, nearest_match, payoff_matrix
+from wass_tpu.match.pose import relative_pose_ransac
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Defaults from the reference matcher options (wass_match.cpp:39-45,
+    FeatureSet.cpp:42-47, GTMatcher.cpp:33)."""
+
+    num_features: int = 2000
+    n_candidates_per_feature: int = 3
+    nndr: float = 0.25
+    matcher_lambda: float = 1e-5
+    population_threshold: float = 0.7
+    min_group_size: int = 5
+    max_rounds: int = 20
+    max_epi_distance: float = 0.5  # px
+    skip_gt: bool = False
+    hessian_threshold: float = 1e-4
+    feature_grid_cell: int = 12
+    area_subdivision: int = 5
+    ransac_hypotheses: int = 1024
+    ransac_confidence: float = 0.9999
+    iidyn_iters: int = 20000
+    lk_refine: bool = True
+    seed: int = 0
+
+
+class MatchStageResult(NamedTuple):
+    R: np.ndarray
+    T: np.ndarray
+    uv0_all: np.ndarray  # (M, 2) all GT-matcher matches
+    uv1_all: np.ndarray
+    uv0_epi: np.ndarray  # epipolar-inlier matches
+    uv1_epi: np.ndarray
+    uv0_pose: np.ndarray  # pose (chirality) inlier matches
+    uv1_pose: np.ndarray
+    epi_avg: float
+    epi_std: float
+    epi_min: float
+    epi_max: float
+    n_matches: int
+
+
+def match_frame(
+    img0: np.ndarray,
+    img1: np.ndarray,
+    K0: np.ndarray,
+    K1: np.ndarray,
+    cfg: MatchConfig = MatchConfig(),
+) -> Optional[MatchStageResult]:
+    """Full matching stage for one undistorted frame pair."""
+    key = jax.random.PRNGKey(cfg.seed)
+    k_match, k_ransac = jax.random.split(key)
+
+    f0 = detect_features(
+        jnp.asarray(img0, jnp.float32),
+        max_features=cfg.num_features,
+        hessian_threshold=cfg.hessian_threshold,
+        grid_cell=cfg.feature_grid_cell,
+        area_subdivision=cfg.area_subdivision,
+    )
+    f1 = detect_features(
+        jnp.asarray(img1, jnp.float32),
+        max_features=cfg.num_features,
+        hessian_threshold=cfg.hessian_threshold,
+        grid_cell=cfg.feature_grid_cell,
+        area_subdivision=cfg.area_subdivision,
+    )
+
+    cand = generate_candidates(f0, f1, cfg.n_candidates_per_feature, cfg.nndr)
+    if cfg.skip_gt:
+        result = nearest_match(cand)
+    else:
+        pay = payoff_matrix(f0, f1, cand, cfg.matcher_lambda)
+        result = gt_match(
+            f0,
+            f1,
+            cand,
+            pay,
+            k_match,
+            pop_threshold=cfg.population_threshold,
+            max_rounds=cfg.max_rounds,
+            min_group_size=cfg.min_group_size,
+            iidyn_iters=cfg.iidyn_iters,
+        )
+
+    sel = np.asarray(result.valid)
+    src = np.asarray(result.src)[sel]
+    dst = np.asarray(result.dst)[sel]
+    uv0 = np.asarray(f0.xy)[src]
+    uv1 = np.asarray(f1.xy)[dst]
+    if len(uv0) < 8:
+        return None
+
+    if cfg.lk_refine:
+        from wass_tpu.match.refine import refine_matches_lk
+
+        uv1 = np.asarray(
+            refine_matches_lk(
+                jnp.asarray(img0, jnp.float32),
+                jnp.asarray(img1, jnp.float32),
+                jnp.asarray(uv0, jnp.float32),
+                jnp.asarray(uv1, jnp.float32),
+            )
+        )
+
+    # Normalized coordinates for the essential matrix (wass_match.cpp:311-326).
+    K0 = np.asarray(K0, np.float64)
+    K1 = np.asarray(K1, np.float64)
+    K0i = np.linalg.inv(K0)
+    K1i = np.linalg.inv(K1)
+    focal = 0.5 * (K0[0, 0] + K0[1, 1])
+    p0n = (np.c_[uv0, np.ones(len(uv0))] @ K0i.T)[:, :2]
+    p1n = (np.c_[uv1, np.ones(len(uv1))] @ K1i.T)[:, :2]
+
+    # Pad to a fixed capacity so RANSAC shapes stay static across frames.
+    cap = int(2 ** np.ceil(np.log2(max(len(p0n), 64))))
+    pad = cap - len(p0n)
+    p0j = jnp.asarray(np.pad(p0n, ((0, pad), (0, 0))), jnp.float32)
+    p1j = jnp.asarray(np.pad(p1n, ((0, pad), (0, 0))), jnp.float32)
+    vj = jnp.asarray(np.pad(np.ones(len(p0n), bool), (0, pad)))
+
+    rp = relative_pose_ransac(
+        p0j, p1j, vj, k_ransac, threshold=cfg.max_epi_distance / focal, n_hypotheses=cfg.ransac_hypotheses
+    )
+
+    inl = np.asarray(rp.inliers)[: len(p0n)]
+    R = np.asarray(rp.R, np.float64)
+    T = np.asarray(rp.T, np.float64)
+
+    # Chirality inliers for matches.txt: reference reuses the RANSAC mask
+    # updated by recoverPose; we use the epipolar inliers whose triangulation
+    # lands in front of both cameras.
+    from wass_tpu.core.triangulate import triangulate_normalized
+
+    pts = np.asarray(triangulate_normalized(p0j, p1j, jnp.asarray(R, jnp.float32), jnp.asarray(T, jnp.float32)))[: len(p0n)]
+    front = (pts[:, 2] > 0) & ((pts @ R.T + T)[:, 2] > 0)
+    pose_inl = inl & front
+    if pose_inl.sum() < 8:
+        return None
+
+    # Epipolar error stats on pixel coords with F = K1^-T E K0^-1.
+    E = np.asarray(rp.E, np.float64)
+    F = K1i.T @ E @ K0i
+    stats = epipolar_error_stats(
+        jnp.asarray(F, jnp.float32),
+        jnp.asarray(uv0[pose_inl], jnp.float32),
+        jnp.asarray(uv1[pose_inl], jnp.float32),
+    )
+
+    return MatchStageResult(
+        R=R,
+        T=T.reshape(3, 1),
+        uv0_all=uv0,
+        uv1_all=uv1,
+        uv0_epi=uv0[inl],
+        uv1_epi=uv1[inl],
+        uv0_pose=uv0[pose_inl],
+        uv1_pose=uv1[pose_inl],
+        epi_avg=float(stats.avg),
+        epi_std=float(stats.std),
+        epi_min=float(stats.min),
+        epi_max=float(stats.max),
+        n_matches=int(pose_inl.sum()),
+    )

@@ -353,6 +353,89 @@ def dense_stereo_device(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _stage_disparity(base_rect, match_rect, cfg: DenseStereoConfig):
+    if cfg.dense_scale != 1.0:
+        h, w = base_rect.shape
+        sh, sw = round(h * cfg.dense_scale), round(w * cfg.dense_scale)
+        base_rect = resize(base_rect, (sh, sw), interp="cubic")
+        match_rect = resize(match_rect, (sh, sw), interp="cubic")
+    disp = sgm_disparity(
+        base_rect, match_rect,
+        num_disp=cfg.num_disp, min_disp=cfg.min_disp, P1=cfg.p1, P2=cfg.p2,
+        directions=cfg.directions, census_win=cfg.census_win,
+        uniqueness_ratio=cfg.uniqueness_ratio, lr_max_diff=cfg.lr_max_diff,
+    )
+    return disparity_postprocess(disp, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _stage_points(disp, geom_pack, base_img, match_img, cfg: DenseStereoConfig):
+    pts, valid = triangulate_dense(disp, geom_pack, base_img, match_img, cfg)
+    keep, _ = outlier_removal(pts, valid, cfg)
+    return pts, valid & keep
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _stage_plane(pts, valid, cfg: DenseStereoConfig):
+    key = jax.random.PRNGKey(cfg.random_seed)
+    fit = ransac_find_plane(pts, valid, key, cfg.plane_ransac_rounds, cfg.plane_ransac_threshold)
+    valid_c = crop_plane(fit.plane, pts, valid, cfg.plane_ransac_threshold)
+    plane = refine_plane(
+        pts, valid_c,
+        max_distance=cfg.plane_refine_max_distance,
+        weight_by_distance=cfg.plane_weight_by_distance,
+    )
+    valid_f = crop_plane(plane, pts, valid, cfg.plane_max_distance)
+    valid_f = jnp.where(fit.ok, valid_f, valid_c)
+    return jnp.where(fit.ok, plane, jnp.full(4, jnp.nan)), fit.ok, valid_f
+
+
+class DenseStereoPipeline:
+    """Staged-jit form of the dense pipeline for production/benchmarking.
+
+    Identical math to dense_stereo_device, but compiled as three XLA
+    programs (disparity / triangulation+outliers / plane) — per-stage
+    compile stays manageable on remote-compile backends and the extra
+    dispatches are negligible (3 per frame)."""
+
+    def __init__(self, cfg: DenseStereoConfig):
+        self.cfg = cfg
+
+    def __call__(self, base_rect, match_rect, base_img, match_img, geom_pack) -> DenseFrameResult:
+        disp = _stage_disparity(base_rect, match_rect, self.cfg)
+        pts, valid = _stage_points(disp, geom_pack, base_img, match_img, self.cfg)
+        plane, ok, valid = _stage_plane(pts, valid, self.cfg)
+        return DenseFrameResult(
+            points=pts, valid=valid, plane=plane, plane_ok=ok,
+            disparity=disp, n_points=jnp.sum(valid),
+        )
+
+
+def build_geom_pack(geom: "FrameGeometry", image_shape) -> dict:
+    """Device-side geometry bundle shared by all dense entry points."""
+    H, W = image_shape
+    rx, ry, rw, rh = geom.roi
+    yy, xx = np.mgrid[0:H, 0:W]
+    roi_mask = (xx >= rx) & (xx < rx + rw) & (yy >= ry) & (yy < ry + rh)
+    if geom.base_is_cam0:
+        R_mb, T_mb = geom.R.T, -geom.R.T @ geom.T
+    else:
+        R_mb, T_mb = geom.R, geom.T
+    return {
+        "Hi_base": jnp.asarray(geom.Hi_base, jnp.float32),
+        "Hi_match": jnp.asarray(geom.Hi_match, jnp.float32),
+        "K0": jnp.asarray(geom.K0, jnp.float32),
+        "K1": jnp.asarray(geom.K1, jnp.float32),
+        "R": jnp.asarray(geom.R, jnp.float32),
+        "T": jnp.asarray(geom.T, jnp.float32),
+        "R_mb": jnp.asarray(R_mb, jnp.float32),
+        "T_mb": jnp.asarray(T_mb, jnp.float32),
+        "base_is_cam0": jnp.asarray(geom.base_is_cam0),
+        "roi_mask": jnp.asarray(roi_mask),
+    }
+
+
 # --------------------------------------------------------------------------
 # Host wrapper
 # --------------------------------------------------------------------------
@@ -383,27 +466,6 @@ def dense_stereo_frame(
     base_rect = rectify_on_device(b, geom.H_base, (H, W))
     match_rect = rectify_on_device(m, geom.H_match, (H, W))
 
-    rx, ry, rw, rh = geom.roi
-    yy, xx = np.mgrid[0:H, 0:W]
-    roi_mask = (xx >= rx) & (xx < rx + rw) & (yy >= ry) & (yy < ry + rh)
-
-    # match->base rigid transform for the reference's angle-gate formula.
-    if geom.base_is_cam0:
-        R_mb, T_mb = geom.R.T, -geom.R.T @ geom.T  # cam1 -> cam0
-    else:
-        R_mb, T_mb = geom.R, geom.T  # cam0 -> cam1
-
-    geom_pack = {
-        "Hi_base": jnp.asarray(geom.Hi_base, jnp.float32),
-        "Hi_match": jnp.asarray(geom.Hi_match, jnp.float32),
-        "K0": jnp.asarray(geom.K0, jnp.float32),
-        "K1": jnp.asarray(geom.K1, jnp.float32),
-        "R": jnp.asarray(geom.R, jnp.float32),
-        "T": jnp.asarray(geom.T, jnp.float32),
-        "R_mb": jnp.asarray(R_mb, jnp.float32),
-        "T_mb": jnp.asarray(T_mb, jnp.float32),
-        "base_is_cam0": jnp.asarray(geom.base_is_cam0),
-        "roi_mask": jnp.asarray(roi_mask),
-    }
+    geom_pack = build_geom_pack(geom, (H, W))
     result = dense_stereo_device(base_rect, match_rect, b, m, geom_pack, cfg)
     return result, geom
