@@ -1,0 +1,73 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: frame sharding and
+the distributed Schur-complement BA (sharded result must match the
+single-device solver)."""
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wass_tpu.parallel.mesh import make_frame_mesh, frame_sharding
+from wass_tpu.parallel.distba import lm_refine_two_view_sharded, pad_points_for_mesh
+from wass_tpu.calib.ba import lm_refine_two_view
+
+
+def _ba_problem(rng, n=512):
+    R, _ = cv2.Rodrigues(np.array([0.02, -0.25, 0.015]))
+    T = np.array([-1.0, 0.02, 0.06])
+    T /= np.linalg.norm(T)
+    pts = np.stack([rng.uniform(-4, 4, n), rng.uniform(-4, 4, n), rng.uniform(8, 25, n)], 1)
+    p0 = pts[:, :2] / pts[:, 2:]
+    x1 = pts @ R.T + T
+    p1 = x1[:, :2] / x1[:, 2:]
+    p0 = p0 + rng.standard_normal(p0.shape) * 2e-4
+    p1 = p1 + rng.standard_normal(p1.shape) * 2e-4
+    Rp, _ = cv2.Rodrigues(cv2.Rodrigues(R)[0].ravel() + np.array([2e-3, -1.5e-3, 1e-3]))
+    Tp = T + np.array([3e-3, -2e-3, 1e-3])
+    Xp = pts + rng.standard_normal(pts.shape) * 0.05
+    return R, T, Rp, Tp, Xp, p0, p1
+
+
+class TestDistributedBA:
+    def test_matches_single_device(self, rng):
+        assert jax.device_count() >= 8
+        mesh = make_frame_mesh(8)
+        R, T, Rp, Tp, Xp, p0, p1 = _ba_problem(rng)
+        mask = np.ones(len(Xp), bool)
+        mask[500:] = False
+
+        args32 = [jnp.asarray(a, jnp.float32) for a in (Rp, Tp, Xp, p0, p1)]
+        single = lm_refine_two_view(*args32, jnp.asarray(mask), max_iters=40)
+        shard = lm_refine_two_view_sharded(
+            mesh, *args32, jnp.asarray(mask), max_iters=40
+        )
+        # Same math, same reductions => near-identical camera solution.
+        np.testing.assert_allclose(np.array(shard.R), np.array(single.R), atol=5e-5)
+        np.testing.assert_allclose(np.array(shard.T), np.array(single.T), atol=5e-5)
+        # And both recover the ground truth.
+        Tr = np.array(shard.T)
+        Tr /= np.linalg.norm(Tr)
+        assert np.abs(np.array(shard.R) - R).max() < 1e-3
+        assert np.abs(Tr - T).max() < 5e-3
+
+    def test_padding_helper(self, rng):
+        arrs = [np.ones((13, 3)), np.ones((13, 2))]
+        mask = np.ones(13, bool)
+        (a, b), m = pad_points_for_mesh(arrs, mask, 8)
+        assert a.shape[0] == 16 and b.shape[0] == 16
+        assert m.sum() == 13
+
+
+class TestFrameSharding:
+    def test_sharded_batch_reduction(self):
+        mesh = make_frame_mesh(8)
+        fsh = frame_sharding(mesh)
+        x = jax.device_put(np.arange(8 * 4, dtype=np.float32).reshape(8, 4), fsh)
+
+        @jax.jit
+        def mean_over_frames(x):
+            return jnp.mean(x, axis=0)
+
+        out = mean_over_frames(x)
+        np.testing.assert_allclose(np.array(out), np.arange(8 * 4).reshape(8, 4).mean(0))

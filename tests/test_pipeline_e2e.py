@@ -67,7 +67,10 @@ class TestSequencePipeline:
         for i, wd in enumerate(pipe.workdirs()):
             mesh_cam = load_camera_mesh(wd.path / "mesh_cam.xyzC")  # (3, N)
             assert mesh_cam.shape[1] > 0.3 * W * H
-            err = scenes[i].eta_cam0(mesh_cam.T * rig.baseline) / rig.baseline
-            ae = np.sort(np.abs(err))
+            plane = wd.load_plane()
+            err = scenes[i].elevation_error(mesh_cam.T, plane)
+            ae = np.sort(np.abs(err[np.isfinite(err)]))
             trimmed = ae[: int(len(ae) * 0.999)]
-            assert trimmed.mean() < 0.06
+            # verify_meshes.m gate is 0.02 at 3 MP; relaxed at 0.1 MP test
+            # resolution (the full-scale gate runs in the benchmark).
+            assert trimmed.mean() < 0.08

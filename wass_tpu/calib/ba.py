@@ -54,7 +54,7 @@ def _point_residual(cam: jnp.ndarray, R0: jnp.ndarray, X: jnp.ndarray, p0: jnp.n
     return jnp.concatenate([r0, r1])
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "axis_name"))
 def lm_refine_two_view(
     R_init: jnp.ndarray,
     T_init: jnp.ndarray,
@@ -64,6 +64,7 @@ def lm_refine_two_view(
     mask: jnp.ndarray,
     max_iters: int = 50,
     lam0: float = 1e-3,
+    axis_name: str | None = None,
 ) -> BAResult:
     """LM refinement of (R, T, X) minimizing masked reprojection error.
 
@@ -72,6 +73,11 @@ def lm_refine_two_view(
       X_init: (N, 3) initial points (cam0 frame).
       p0, p1: (N, 2) normalized observations.
       mask: (N,) bool; padded slots are False.
+      axis_name: when set, per-point arrays are assumed sharded along a
+        mesh axis of that name (running under shard_map): the camera-block
+        reductions (A, g_c, the Schur complement and the cost) are psum-ed
+        across shards while every point block stays local — the
+        distributed Schur-complement BA of BASELINE.json.
     """
     N = X_init.shape[0]
     m = mask.astype(jnp.float32)
@@ -79,9 +85,12 @@ def lm_refine_two_view(
     jac = jax.vmap(jax.jacfwd(_point_residual, argnums=(0, 2)), in_axes=(None, None, 0, 0, 0))
     res_fn = jax.vmap(_point_residual, in_axes=(None, None, 0, 0, 0))
 
+    def _allreduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
     def cost(cam, R0, X):
         r = res_fn(cam, R0, X, p0, p1)
-        return jnp.sum(r * r * m[:, None])
+        return _allreduce(jnp.sum(r * r * m[:, None]))
 
     def lm_step(state):
         cam, R0, X, lam, it, c_prev, done = state
@@ -108,8 +117,8 @@ def lm_refine_two_view(
 
         # Schur complement onto the camera block.
         BCi = jnp.einsum("nij,njk->nik", B, Ci)
-        S = A_d - jnp.einsum("nik,njk->ij", BCi, B)
-        rhs = g_c - jnp.einsum("nik,nk->i", BCi, g_p)
+        S = _allreduce(A_d - jnp.einsum("nik,njk->ij", BCi, B))
+        rhs = _allreduce(g_c - jnp.einsum("nik,nk->i", BCi, g_p))
         dc = jnp.linalg.solve(S, rhs)
         dX = jnp.einsum("nij,nj->ni", Ci, g_p - jnp.einsum("nji,j->ni", B, dc))
 

@@ -85,7 +85,8 @@ def census_cost_volume(
         valid = xx - d >= 0
         return jnp.where(valid, c, max_cost)
 
-    # Build along the D axis; vectorized over j via vmap then transposed to
-    # innermost layout.  XLA fuses the rolls into gathers.
-    vols = jax.vmap(cost_for_disp)(jnp.arange(num_disp))  # (D, H, W)
+    # Sequential map over the disparity axis: peak memory = the output
+    # volume + one (H, W) slice, instead of the (D, H, W, words) shifted
+    # tensor a vmap would materialize (6+ GB at 3 MP / 256 disparities).
+    vols = jax.lax.map(cost_for_disp, jnp.arange(num_disp))  # (D, H, W)
     return jnp.transpose(vols, (1, 2, 0))  # (H, W, D)

@@ -62,10 +62,12 @@ def _scan_slabs(cost_sw: jnp.ndarray, P1: int, P2: int, shift: int = 0) -> jnp.n
                 carry = carry.at[..., :shift, :].set(_BIG)
             else:
                 carry = carry.at[..., shift:, :].set(_BIG)
-        out = _sgm_step(carry, c, P1, P2)
+        out = _sgm_step(carry, c.astype(jnp.int16), P1, P2)
         return out, out
 
     # BIG carry makes the first step reduce to L = C (fresh start).
+    # Inputs stay uint8 in HBM; the int16 upcast happens per-slab in the
+    # scan body, halving the resident cost-volume footprint.
     init = jnp.full(cost_sw.shape[1:], _BIG, jnp.int16)
     _, agg = jax.lax.scan(step, init, cost_sw)
     return agg
@@ -78,22 +80,21 @@ def sgm_aggregate(cost: jnp.ndarray, P1: int, P2: int, directions: int = 8) -> j
     Returns (H, W, D) int16 aggregated cost sum.
     """
     assert directions in (2, 4, 8)
-    c = cost.astype(jnp.int16)
+    c = cost if cost.dtype == jnp.uint8 else cost.astype(jnp.uint8)
     H, W, D = c.shape
 
     # Horizontal pair: scan over x; state slab = rows.  Stack the
     # left-to-right volume and the flipped right-to-left volume so both
-    # directions ride one scan.
+    # directions ride one scan.  Each pair's (S, ..., D) output is folded
+    # into the running sum immediately so at most one direction-pair
+    # volume is live beyond the accumulator.
     lr = jnp.transpose(c, (1, 0, 2))  # (W, H, D)
-    rl = lr[::-1]
-    h_in = jnp.concatenate([lr, rl], axis=1)  # (W, 2H, D)
+    h_in = jnp.concatenate([lr, lr[::-1]], axis=1)  # (W, 2H, D)
     h_out = _scan_slabs(h_in, P1, P2)
     agg = jnp.transpose(h_out[:, :H], (1, 0, 2)) + jnp.transpose(h_out[::-1, H:], (1, 0, 2))
 
     if directions >= 4:
-        td = c  # (H, W, D): scan over y, slab (W, D)
-        dt = c[::-1]
-        v_in = jnp.concatenate([td, dt], axis=1)  # (H, 2W, D)
+        v_in = jnp.concatenate([c, c[::-1]], axis=1)  # (H, 2W, D): scan over y
         v_out = _scan_slabs(v_in, P1, P2)
         agg = agg + v_out[:, :W] + v_out[::-1, W:]
 
@@ -123,40 +124,57 @@ def wta_disparity(
     disparity (in the base=right convention); 0 marks invalid.
     """
     H, W, D = agg.shape
-    a = agg.astype(jnp.int32)
-    best = jnp.argmin(a, axis=-1)  # (H, W)
-    dmin = jnp.min(a, axis=-1)
 
-    # Uniqueness: any cost within ratio at |d - best| > 1 invalidates.
-    didx = jnp.arange(D)[None, None, :]
-    far = jnp.abs(didx - best[..., None]) > 1
-    thresh = dmin * (100 + uniqueness_ratio) // 100
-    bad_unique = jnp.any((a <= thresh[..., None]) & far, axis=-1)
+    # Row-band processing keeps the int32 upcast and the (band, W, D)
+    # uniqueness broadcast small; the full-resolution volume is only ever
+    # resident as int16.
+    band = max(1, min(H, (1 << 22) // max(W * D, 1)))  # ~4M elements/band
+    n_bands = -(-H // band)
+    pad_h = n_bands * band - H
+    a16 = jnp.pad(agg, ((0, pad_h), (0, 0), (0, 0)), constant_values=_BIG)
+    bands = a16.reshape(n_bands, band, W, D)
 
-    # Parabola subpixel around the winner.
-    bm1 = jnp.clip(best - 1, 0, D - 1)
-    bp1 = jnp.clip(best + 1, 0, D - 1)
-    take = lambda idx: jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
-    sm1 = take(bm1)
-    sp1 = take(bp1)
-    s0 = dmin
-    denom = jnp.maximum(sm1 + sp1 - 2 * s0, 1)
-    delta = jnp.clip((sm1 - sp1) / (2.0 * denom), -0.5, 0.5)
-    interior = (best > 0) & (best < D - 1)
-    disp = best + min_disp + jnp.where(interior, delta, 0.0)
+    def one_band(ab):
+        a = ab.astype(jnp.int32)
+        best = jnp.argmin(a, axis=-1)  # (band, W)
+        dmin = jnp.min(a, axis=-1)
+        # Uniqueness: any cost within ratio at |d - best| > 1 invalidates.
+        didx = jnp.arange(D)[None, None, :]
+        far = jnp.abs(didx - best[..., None]) > 1
+        thresh = dmin * (100 + uniqueness_ratio) // 100
+        bad_unique = jnp.any((a <= thresh[..., None]) & far, axis=-1)
 
-    valid = ~bad_unique
+        # Parabola subpixel around the winner.
+        bm1 = jnp.clip(best - 1, 0, D - 1)
+        bp1 = jnp.clip(best + 1, 0, D - 1)
+        take = lambda idx: jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
+        sm1 = take(bm1)
+        sp1 = take(bp1)
+        denom = jnp.maximum(sm1 + sp1 - 2 * dmin, 1)
+        delta = jnp.clip((sm1 - sp1) / (2.0 * denom), -0.5, 0.5)
+        interior = (best > 0) & (best < D - 1)
+        disp = best + min_disp + jnp.where(interior, delta, 0.0)
+        return disp.astype(jnp.float32), ~bad_unique, best.astype(jnp.int32)
+
+    disp_b, valid_b, best_b = jax.lax.map(one_band, bands)
+    disp = disp_b.reshape(-1, W)[:H]
+    valid = valid_b.reshape(-1, W)[:H]
+    best = best_b.reshape(-1, W)[:H]
 
     if lr_max_diff >= 0:
         # Left-base disparity from the same aggregated volume:
-        # dispL(y, xl) = argmin_d agg(y, xl + d, d); realized as a gather
-        # along the diagonal.
-        def left_cost(j):
-            return jnp.roll(a[:, :, j], -(j + min_disp), axis=1)
+        # dispL(y, xl) = argmin_d agg(y, xl + d, d), as a running-min fold
+        # over d to avoid materializing a second volume.
+        def fold(carry, j):
+            bc, bv = carry
+            cols = (jnp.arange(W) + j + min_disp) % W  # traced-shift roll
+            v = jnp.take(agg[:, :, j], cols, axis=1)
+            better = v < bv
+            return (jnp.where(better, j, bc), jnp.minimum(v, bv)), None
 
-        lcost = jax.vmap(left_cost, out_axes=-1)(jnp.arange(D))
-        bestL = jnp.argmin(lcost, axis=-1) + min_disp
-        # For each right pixel: compare with left disparity at x - d.
+        init = (jnp.zeros((H, W), jnp.int32), jnp.full((H, W), _BIG, agg.dtype))
+        (bestL, _), _ = jax.lax.scan(fold, init, jnp.arange(D))
+        bestL = bestL + min_disp
         xr_pix = jnp.arange(W)[None, :]
         xl_pix = jnp.clip(xr_pix - (best + min_disp), 0, W - 1)
         dL = jnp.take_along_axis(bestL, xl_pix, axis=1)

@@ -1,1 +1,1 @@
-from wass_tpu.testing.synthetic import SyntheticScene, SyntheticRig, make_scene  # noqa: F401
+from wass_tpu.testing.synthetic import SyntheticScene, SyntheticRig, make_scene, make_rig  # noqa: F401

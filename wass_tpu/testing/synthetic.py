@@ -194,6 +194,49 @@ class SyntheticScene:
         pw = (pts_cam0 - T0) @ R0
         return self.waves.eta(pw[..., 0], pw[..., 1]) - pw[..., 2]
 
+    def elevation_error(self, pts_cam0: np.ndarray, plane: np.ndarray) -> np.ndarray:
+        """verify_meshes.m-style elevation error (reference
+        /root/reference/test/verify_meshes.m:14-30): both the reconstructed
+        points and the ground truth are aligned to the *same estimated* sea
+        plane, so global calibration tilt cancels exactly as in the
+        reference's acceptance test.
+
+        Args:
+          pts_cam0: (N, 3) reconstructed points, cam0 frame, baseline units.
+          plane: (4,) estimated plane (cam0 frame, baseline units).
+        Returns per-point |z_rec - z_gt| in baseline units (NaN where the
+        point projects outside the image).
+        """
+        K0 = self.rig.K0
+        b = self.rig.baseline
+        # Ground-truth 3D point along the same cam0 ray: sample the GT
+        # point map at the reconstructed point's projection.
+        uv = pts_cam0 @ K0.T
+        uv = uv[:, :2] / uv[:, 2:3]
+        H, W = self.depth0.shape
+        x = np.clip(uv[:, 0], 0, W - 1.001)
+        y = np.clip(uv[:, 1], 0, H - 1.001)
+        x0 = np.floor(x).astype(int)
+        y0 = np.floor(y).astype(int)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        P = self.points0
+        gt = (
+            P[y0, x0] * (1 - fx) * (1 - fy)
+            + P[y0, x0 + 1] * fx * (1 - fy)
+            + P[y0 + 1, x0] * (1 - fx) * fy
+            + P[y0 + 1, x0 + 1] * fx * fy
+        ) / b
+        inb = (uv[:, 0] >= 0) & (uv[:, 0] < W - 1) & (uv[:, 1] >= 0) & (uv[:, 1] < H - 1)
+
+        # Align both clouds by the same estimated plane (plane frame z).
+        a, bb, c, d = plane
+        n = np.array([a, bb, c])
+        z_rec = pts_cam0 @ n + d
+        z_gt = gt @ n + d
+        err = np.abs(z_rec - z_gt)
+        return np.where(inb, err, np.nan)
+
 
 def _trace_rays(origin: np.ndarray, dirs: np.ndarray, waves: WaveField, iters: int = 30):
     """Intersect rays origin + t*dirs with z = eta(x, y); returns t (nan if
