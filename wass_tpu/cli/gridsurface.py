@@ -1,0 +1,93 @@
+"""wass-tpu-gridsurface: the wassgridsurface console equivalent.
+
+Mirrors the reference CLI contract
+(/root/reference/gridding/wassgridsurface/wassgridsurface.py:596-768):
+--action setup computes the grid geometry (config.mat), --action grid
+rasterizes every frame into gridded.nc.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import click
+import numpy as np
+
+
+@click.command()
+@click.argument("workdir", type=click.Path(exists=True))
+@click.argument("outdir", type=click.Path())
+@click.option("--action", type=click.Choice(["setup", "grid"]), required=True)
+@click.option("--baseline", type=float, default=None, help="camera baseline in meters")
+@click.option("--gridsetup", type=click.Path(), default=None, help="config.mat from a previous setup")
+@click.option("--area_center", type=str, default="0,0")
+@click.option("--area_size", type=float, default=50.0)
+@click.option("-N", "--grid_size", type=int, default=256)
+@click.option("--fps", type=float, default=1.0)
+@click.option("--algorithm", type=click.Choice(["DCT", "IDW"]), default="DCT")
+@click.option("--subsample", type=float, default=100.0, help="point subsample percentage")
+@click.option("-mf", "--medianfilter", type=int, default=0)
+def cli(workdir, outdir, action, baseline, gridsetup, area_center, area_size, grid_size, fps, algorithm, subsample, medianfilter):
+    from wass_tpu.io.workdir import frame_workdirs
+    from wass_tpu.grid.setup import grid_setup
+    from wass_tpu.grid.gridding import GridConfig, grid_sequence
+
+    out = Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    wds = frame_workdirs(workdir)
+    if not wds:
+        raise click.ClickException(f"no *_wd frame directories under {workdir}")
+
+    # Mean plane over the sequence (wassgridsurface.py:664-678).
+    planes_file = Path(workdir) / "output" / "planes.txt"
+    if planes_file.exists():
+        meanplane = np.nanmean(np.loadtxt(planes_file, ndmin=2), axis=0)
+    else:
+        meanplane = wds[0].load_plane()
+
+    if action == "setup":
+        if baseline is None:
+            raise click.ClickException("--baseline is required for setup")
+        cx, cy = (float(v) for v in area_center.split(","))
+        setup = grid_setup(
+            wds[0], meanplane, baseline,
+            area_center=(cx, cy), area_size_x=area_size, area_size_y=area_size,
+            Nx=grid_size, Ny=grid_size, fps=fps,
+        )
+        setup.save_mat(out / "config.mat")
+        click.echo(f"grid setup saved to {out/'config.mat'}")
+        return
+
+    # action == grid
+    import scipy.io as sio
+
+    matfile = Path(gridsetup) if gridsetup else out / "config.mat"
+    if not matfile.exists():
+        raise click.ClickException(f"{matfile} not found; run --action setup first")
+    from wass_tpu.grid.setup import GridSetup
+
+    m = sio.loadmat(str(matfile))
+    setup = GridSetup(
+        XX=m["XX"], YY=m["YY"], KX_ab=m["KX_ab"], KY_ab=m["KY_ab"],
+        Rpl=m["Rpl"], Tpl=m["Tpl"],
+        P0cam=np.vstack([m["P0cam"], [0, 0, 0, 1]]), P1cam=np.vstack([m["P1cam"], [0, 0, 0, 1]]),
+        P0plane=m["P0plane"], P1plane=m["P1plane"],
+        Cam0toGrid=m["Cam0toGrid"], Cam1toGrid=m["Cam1toGrid"],
+        K0=m["K0"], K1=m["K1"], baseline=float(np.ravel(m["CAM_BASELINE"])[0]),
+        xmin=float(np.ravel(m["xmin"])[0]), xmax=float(np.ravel(m["xmax"])[0]),
+        ymin=float(np.ravel(m["ymin"])[0]), ymax=float(np.ravel(m["ymax"])[0]),
+        zmin=float(np.ravel(m["zmin"])[0]), zmax=float(np.ravel(m["zmax"])[0]),
+        x_spacing=float(np.ravel(m["x_spacing"])[0]), y_spacing=float(np.ravel(m["y_spacing"])[0]),
+        fps=float(np.ravel(m["fps"])[0]),
+    )
+    cfg = GridConfig(algorithm=algorithm, subsample_percent=subsample, median_filter_size=medianfilter)
+    grid_sequence(wds, setup, out / "gridded.nc", cfg)
+    click.echo(f"gridded {len(wds)} frames into {out/'gridded.nc'}")
+
+
+def main():
+    cli()
+
+
+if __name__ == "__main__":
+    main()

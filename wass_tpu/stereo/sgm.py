@@ -46,67 +46,90 @@ def _sgm_step(prev: jnp.ndarray, cost: jnp.ndarray, P1: int, P2: int) -> jnp.nda
     return cost + best - minprev
 
 
-def _scan_slabs(cost_sw: jnp.ndarray, P1: int, P2: int, shift: int = 0) -> jnp.ndarray:
-    """Scan SGM along axis 0 of cost_sw with shape (S, ..., B, D): S
-    sequential steps over slabs.  `shift` rolls the carry by that many
-    positions along the B axis per step (for diagonal directions), with the
-    entering boundary neutralized to a fresh start.
+def _pair_scan(cost_fn, n_steps: int, slab_shape, P1: int, P2: int, emit_dtype, shift: int = 0):
+    """Run the forward and backward SGM recurrences of one direction pair in
+    a single scan.
+
+    cost_fn(i) -> (slab_fwd, slab_bwd): the cost slabs consumed by the
+    forward pass at step i and by the backward pass at its own step i
+    (position n-1-i), gathered on the fly from the cost volume — no
+    stacked/flipped input copies are materialized.
+
+    Returns (ys_fwd, ys_bwd): per-step aggregated slabs, emitted in
+    emit_dtype (uint8 when C_max + P2 < 256 — the classic SGM bound
+    L <= C + P2 after min-normalization — halving each direction volume).
     """
 
-    def step(carry, c):
+    def step(carry, i):
+        fwd, bwd = carry
         if shift != 0:
-            carry = jnp.roll(carry, shift, axis=-2)
-            # Pixels entering at the roll boundary must not inherit costs
-            # from the opposite edge: neutralize to BIG (fresh start).
+            fwd = jnp.roll(fwd, shift, axis=-2)
+            bwd = jnp.roll(bwd, -shift, axis=-2)
             if shift > 0:
-                carry = carry.at[..., :shift, :].set(_BIG)
+                fwd = fwd.at[..., :shift, :].set(_BIG)
+                bwd = bwd.at[..., -shift:, :].set(_BIG)
             else:
-                carry = carry.at[..., shift:, :].set(_BIG)
-        out = _sgm_step(carry, c.astype(jnp.int16), P1, P2)
-        return out, out
+                fwd = fwd.at[..., shift:, :].set(_BIG)
+                bwd = bwd.at[..., :-shift, :].set(_BIG)
+        cf, cb = cost_fn(i)
+        fwd = _sgm_step(fwd, cf.astype(jnp.int16), P1, P2)
+        bwd = _sgm_step(bwd, cb.astype(jnp.int16), P1, P2)
+        return (fwd, bwd), (fwd.astype(emit_dtype), bwd.astype(emit_dtype))
 
-    # BIG carry makes the first step reduce to L = C (fresh start).
-    # Inputs stay uint8 in HBM; the int16 upcast happens per-slab in the
-    # scan body, halving the resident cost-volume footprint.
-    init = jnp.full(cost_sw.shape[1:], _BIG, jnp.int16)
-    _, agg = jax.lax.scan(step, init, cost_sw)
-    return agg
+    init = (
+        jnp.full(slab_shape, _BIG, jnp.int16),
+        jnp.full(slab_shape, _BIG, jnp.int16),
+    )
+    _, (ys_f, ys_b) = jax.lax.scan(step, init, jnp.arange(n_steps))
+    return ys_f, ys_b
 
 
 def sgm_aggregate(cost: jnp.ndarray, P1: int, P2: int, directions: int = 8) -> jnp.ndarray:
-    """Aggregate an (H, W, D) uint8/int16 cost volume over SGM paths.
+    """Aggregate an (H, W, D) uint8 cost volume over SGM paths.
 
-    directions: 4 (horizontal+vertical) or 8 (plus diagonals).
+    directions: 2 (horizontal), 4 (+vertical) or 8 (+diagonals).
     Returns (H, W, D) int16 aggregated cost sum.
+
+    Memory plan (3 MP x 256 disparities fits one 16 GB chip): the cost
+    volume stays uint8; each direction pair is one scan whose per-step
+    slabs are gathered from the volume (no flipped input copies) and whose
+    outputs are emitted uint8 (the normalized per-direction cost is
+    bounded by C_max + P2 < 256); the int16 sum is the only
+    full-precision volume.
     """
     assert directions in (2, 4, 8)
     c = cost if cost.dtype == jnp.uint8 else cost.astype(jnp.uint8)
     H, W, D = c.shape
+    emit = jnp.uint8
+    assert 64 + P2 < 256, "P2 too large for uint8 direction emissions"
 
-    # Horizontal pair: scan over x; state slab = rows.  Stack the
-    # left-to-right volume and the flipped right-to-left volume so both
-    # directions ride one scan.  Each pair's (S, ..., D) output is folded
-    # into the running sum immediately so at most one direction-pair
-    # volume is live beyond the accumulator.
-    lr = jnp.transpose(c, (1, 0, 2))  # (W, H, D)
-    h_in = jnp.concatenate([lr, lr[::-1]], axis=1)  # (W, 2H, D)
-    h_out = _scan_slabs(h_in, P1, P2)
-    agg = jnp.transpose(h_out[:, :H], (1, 0, 2)) + jnp.transpose(h_out[::-1, H:], (1, 0, 2))
+    # Horizontal pair: scan over x, slabs are (H, D) columns.
+    cT = jnp.transpose(c, (1, 0, 2))  # (W, H, D) uint8 for axis-0 slicing
+
+    def cost_h(i):
+        return cT[i], cT[W - 1 - i]
+
+    hf, hb = _pair_scan(cost_h, W, (H, D), P1, P2, emit)  # (W, H, D) each
+    agg = (
+        jnp.transpose(hf, (1, 0, 2)).astype(jnp.int16)
+        + jnp.transpose(hb[::-1], (1, 0, 2)).astype(jnp.int16)
+    )
+
+    def cost_v(i):
+        return c[i], c[H - 1 - i]
 
     if directions >= 4:
-        v_in = jnp.concatenate([c, c[::-1]], axis=1)  # (H, 2W, D): scan over y
-        v_out = _scan_slabs(v_in, P1, P2)
-        agg = agg + v_out[:, :W] + v_out[::-1, W:]
+        vf, vb = _pair_scan(cost_v, H, (W, D), P1, P2, emit)
+        agg = agg + vf.astype(jnp.int16) + vb[::-1].astype(jnp.int16)
 
     if directions == 8:
-        # Diagonals: scan over y with the carry rolled +-1 in x per step.
-        # The two vertical orientations are stacked on a *separate* axis so
-        # the lateral roll cannot leak across them.
-        dd = jnp.stack([c, c[::-1]], axis=1)  # (H, 2, W, D)
-        o1 = _scan_slabs(dd, P1, P2, shift=1)  # paths from up-left / down-left
-        agg = agg + o1[:, 0] + o1[::-1, 1]
-        o2 = _scan_slabs(dd, P1, P2, shift=-1)  # paths from up-right / down-right
-        agg = agg + o2[:, 0] + o2[::-1, 1]
+        # Diagonal pairs: scan over y; the forward half walks down-right
+        # while the backward half walks up-right (and mirrored for the
+        # second pair), realized by opposite lateral rolls of the carries.
+        d1f, d1b = _pair_scan(cost_v, H, (W, D), P1, P2, emit, shift=1)
+        agg = agg + d1f.astype(jnp.int16) + d1b[::-1].astype(jnp.int16)
+        d2f, d2b = _pair_scan(cost_v, H, (W, D), P1, P2, emit, shift=-1)
+        agg = agg + d2f.astype(jnp.int16) + d2b[::-1].astype(jnp.int16)
 
     return agg
 
