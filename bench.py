@@ -22,6 +22,7 @@ import sys
 import time
 
 import numpy as np
+from pathlib import Path
 
 
 def main():
@@ -44,8 +45,26 @@ def main():
     from wass_tpu.testing import make_scene
 
     t_setup = time.time()
-    sc = make_scene(seed=7, width=W, height=H, wave_amplitude=0.25)
-    rig = sc.rig
+    # The ray-traced synthetic scene is expensive at 3 MP (~3 min of host
+    # numpy); cache the rendered frames + ground truth on disk.
+    cache = Path(f"/tmp/wass_bench_scene_{W}x{H}_7.npz")
+    if cache.exists():
+        z = np.load(cache)
+        sc_img0, sc_img1 = z["img0"], z["img1"]
+        sc_points0 = z["points0"]
+        rig_data = {k: z[k] for k in ("K0", "K1", "R0", "T0", "R1", "T1")}
+        from wass_tpu.testing.synthetic import SyntheticRig
+
+        rig = SyntheticRig(width=W, height=H, **rig_data)
+        sc = None
+    else:
+        sc = make_scene(seed=7, width=W, height=H, wave_amplitude=0.25)
+        rig = sc.rig
+        sc_img0, sc_img1, sc_points0 = sc.img0, sc.img1, sc.points0
+        np.savez_compressed(
+            cache, img0=sc.img0, img1=sc.img1, points0=sc.points0,
+            K0=rig.K0, K1=rig.K1, R0=rig.R0, T0=rig.T0, R1=rig.R1, T1=rig.T1,
+        )
     cfg = DenseStereoConfig(
         num_disp=D,
         min_disp=1,
@@ -54,7 +73,7 @@ def main():
     )
     geom = prepare_frame_geometry(rig.K0, rig.K1, rig.R, rig.T, (W, H))
 
-    b_img, m_img = (sc.img0, sc.img1) if geom.base_is_cam0 else (sc.img1, sc.img0)
+    b_img, m_img = (sc_img0, sc_img1) if geom.base_is_cam0 else (sc_img1, sc_img0)
     b = jnp.asarray(b_img, jnp.float32)
     m = jnp.asarray(m_img, jnp.float32)
     geom_pack = build_geom_pack(geom, (H, W))

@@ -180,6 +180,86 @@ def visibilitymap(ncfile, frame):
     click.echo(f"wrote {name} ({occ.mean()*100:.1f}% occluded)")
 
 
+@cli.command()
+@click.argument("ncfile", type=click.Path(exists=True))
+@click.argument("srcvar")
+@click.argument("dstvar")
+def renamevar(ncfile, srcvar, dstvar):
+    with _open(ncfile, "r+") as f:
+        f[dstvar] = f[srcvar]
+        del f[srcvar]
+    click.echo(f"renamed {srcvar} -> {dstvar}")
+
+
+@cli.command()
+@click.argument("ncfile", type=click.Path(exists=True))
+@click.option("--cam", type=int, default=0)
+@click.option("--wassdir", type=click.Path(exists=True), default=None, help="sequence dir with *_wd workdirs")
+@click.option("--numframes", type=int, default=0)
+@click.option("--zvariable", default="Z")
+def radiance(ncfile, cam, wassdir, numframes, zvariable):
+    """Remap camera images onto the elevation grid (-> /radiance_camN)."""
+    from wass_tpu.post.radiance import radiance_frame
+    from wass_tpu.io.workdir import frame_workdirs
+
+    with _open(ncfile, "r+") as f:
+        Pplane = f["meta"][f"P{cam}plane"][...]
+        XX = f["X_grid"][...] / 1000.0
+        YY = f["Y_grid"][...] / 1000.0
+        Z = f[zvariable]
+        N = numframes if numframes > 0 else Z.shape[0]
+        name = f"radiance_cam{cam}"
+        if name in f:
+            del f[name]
+        out = f.create_dataset(name, shape=(N,) + Z.shape[1:], dtype="f4", chunks=f[zvariable].chunks)
+        wds = frame_workdirs(wassdir) if wassdir else None
+        for i in range(N):
+            if wds is not None:
+                img = wds[i].load_undistorted(cam)
+            else:
+                import imageio.v3 as iio
+
+                img = iio.imread(bytes(f["cam0images"][i]))
+            out[i] = radiance_frame(img, f[zvariable][i] / 1000.0, XX, YY, Pplane)
+    click.echo(f"wrote radiance_cam{cam} ({N} frames)")
+
+
+@cli.command()
+@click.argument("ncfile", type=click.Path(exists=True))
+@click.option("--cam", type=int, default=0)
+@click.option("--filtersize", type=int, default=200)
+def bgimage(ncfile, cam, filtersize):
+    """Time-wise box filter of /radiance_camN -> /radiance_bgimage_camN."""
+    from wass_tpu.post.radiance import bg_radiance
+
+    with _open(ncfile, "r+") as f:
+        src = f[f"radiance_cam{cam}"][...]
+        name = f"radiance_bgimage_cam{cam}"
+        if name in f:
+            del f[name]
+        f.create_dataset(name, data=bg_radiance(src, filtersize))
+    click.echo(f"wrote {name}")
+
+
+@cli.command()
+@click.argument("ncfile", type=click.Path(exists=True))
+@click.option("--cam", type=int, default=0)
+@click.option("--threshold-val", type=float, default=0.35)
+@click.option("--use-vats", is_flag=True, default=False)
+def radiance_threshold(ncfile, cam, threshold_val, use_vats):
+    """Background-subtracted binarization -> /radiance_thresholded_camN."""
+    from wass_tpu.post.radiance import radiance_threshold as rt
+
+    with _open(ncfile, "r+") as f:
+        rad = f[f"radiance_cam{cam}"][...]
+        bg = f[f"radiance_bgimage_cam{cam}"][...]
+        name = f"radiance_thresholded_cam{cam}"
+        if name in f:
+            del f[name]
+        f.create_dataset(name, data=rt(rad, bg, threshold_val, use_vats))
+    click.echo(f"wrote {name}")
+
+
 def main():
     cli()
 

@@ -138,7 +138,8 @@ def compute_3d_spectrum(
     kx = np.arange(-kx_max, kx_max + dkx, dkx)[:Nx]
     ky = np.arange(-kx_max, kx_max + dky, dky)[:Ny]
     f = np.arange(-f_max, f_max, df)[:Nt]
-    KX, KY = np.meshgrid(kx, ky)
+    # Row-major grids matching S's spatial axes (rows = kx, cols = ky).
+    KX, KY = np.meshgrid(kx, ky, indexing="ij")
 
     hx = _hann(Nx)
     hy = _hann(Ny)
