@@ -33,6 +33,13 @@ def main():
         W, H, D = 2048, 1536, 256
 
     import jax
+
+    # Persistent compilation cache: the 3 MP program takes several minutes
+    # through the remote TPU compiler; cache the executable so repeated
+    # bench runs (including the driver's) skip compilation.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     import jax.numpy as jnp
 
     from wass_tpu.stereo.dense import (
