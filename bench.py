@@ -103,6 +103,29 @@ def main():
           f"n_points={int(res.n_points)} plane_ok={bool(res.plane_ok)}",
           file=sys.stderr)
 
+    # Quality gates (verify_meshes.m / BASELINE.md): plane-aligned elevation
+    # error of the reconstructed cloud vs ground truth.
+    try:
+        valid = np.array(res.valid)
+        pts = np.array(res.points)[valid]
+        plane = np.array(res.plane, np.float64)
+        uv = pts @ np.asarray(rig.K0).T
+        uv = uv[:, :2] / uv[:, 2:3]
+        xi = np.clip(uv[:, 0].astype(int), 0, W - 1)
+        yi = np.clip(uv[:, 1].astype(int), 0, H - 1)
+        gt = sc_points0[yi, xi] / rig.baseline
+        err = np.abs((pts @ plane[:3]) - (gt @ plane[:3]))
+        ae = np.sort(err[np.isfinite(err)])
+        trimmed = ae[: int(len(ae) * 0.999)]
+        print(
+            f"# quality: n_points={len(pts)} (gate >3e6 at 5 MP scale), "
+            f"trimmed-mean elevation err={trimmed.mean():.4f} baseline units "
+            f"(verify_meshes gate 0.02)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # quality report must never break the bench
+        print(f"# quality report failed: {e}", file=sys.stderr)
+
     # Timed runs.
     n_runs = 3 if small else 5
     times = []

@@ -40,6 +40,16 @@ from wass_tpu.stereo.sgm import sgm_disparity
 from wass_tpu.stereo.plane import PlaneFit, ransac_find_plane, refine_plane, crop_plane
 
 
+def _pallas_ok(cfg) -> bool:
+    """Pallas kernels on TPU backends; lax.scan elsewhere (CPU tests)."""
+    if not cfg.use_pallas:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 @dataclasses.dataclass(frozen=True)
 class DenseStereoConfig:
     """Static configuration (hashable: it is a jit static argument).
@@ -73,6 +83,8 @@ class DenseStereoConfig:
     plane_weight_by_distance: bool = True
     min_triangulated: int = 100
     random_seed: int = 0
+    use_pallas: bool = True  # hand-written TPU SGM kernels (falls back to
+    # lax.scan on backends without Mosaic support — see _stage_disparity)
 
 
 class DenseFrameResult(NamedTuple):
@@ -319,6 +331,7 @@ def dense_stereo_device(
         census_win=cfg.census_win,
         uniqueness_ratio=cfg.uniqueness_ratio,
         lr_max_diff=cfg.lr_max_diff,
+        use_pallas=_pallas_ok(cfg),
     )
     disp = disparity_postprocess(disp, cfg)
 
@@ -365,6 +378,7 @@ def _stage_disparity(base_rect, match_rect, cfg: DenseStereoConfig):
         num_disp=cfg.num_disp, min_disp=cfg.min_disp, P1=cfg.p1, P2=cfg.p2,
         directions=cfg.directions, census_win=cfg.census_win,
         uniqueness_ratio=cfg.uniqueness_ratio, lr_max_diff=cfg.lr_max_diff,
+        use_pallas=_pallas_ok(cfg),
     )
     return disparity_postprocess(disp, cfg)
 

@@ -217,16 +217,25 @@ def sgm_disparity(
     census_win: Tuple[int, int] = (7, 9),
     uniqueness_ratio: int = 1,
     lr_max_diff: int = -1,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """End-to-end dense disparity: census -> cost volume -> SGM -> WTA.
 
     base_img is the *right* rectified image (the reference's base,
     wass_stereo.cpp:837 passes (right, left)); match_img is the left.
+
+    use_pallas selects the hand-written TPU kernels for the aggregation
+    (bit-identical results, ~100x lower scan-step overhead).
     """
     from wass_tpu.stereo.cost import census_transform, census_cost_volume
 
     cb = census_transform(base_img, census_win)
     cm = census_transform(match_img, census_win)
     cost = census_cost_volume(cb, cm, num_disp, min_disp)
-    agg = sgm_aggregate(cost, P1, P2, directions)
+    if use_pallas:
+        from wass_tpu.stereo.sgm_pallas import sgm_aggregate_pallas
+
+        agg = sgm_aggregate_pallas(cost, P1, P2, directions)
+    else:
+        agg = sgm_aggregate(cost, P1, P2, directions)
     return wta_disparity(agg, min_disp, uniqueness_ratio, lr_max_diff)

@@ -1,0 +1,137 @@
+"""Pallas TPU kernels for SGM cost aggregation.
+
+The lax.scan implementation (wass_tpu/stereo/sgm.py) is correct but pays
+XLA while-loop overhead per scan step (~6600 steps/frame at 3 MP), which
+dominates the frame time.  These kernels exploit the TPU Pallas execution
+model: the grid is executed *sequentially* on a core, and scratch VMEM
+persists across grid steps — so each SGM direction pair becomes one
+pallas_call whose grid walks the scan axis, the (slab, D) recurrence
+state lives in VMEM scratch, and block loads/stores are hardware-
+pipelined (double-buffered) by the Pallas runtime.  Step overhead drops
+from ~200us (XLA while iteration) to ~1-2us.
+
+Layout contract: cost volumes are uint8 with D innermost (lane axis).
+Each direction pair (forward + backward) runs in one kernel via two
+input BlockSpecs indexing the same volume from both ends, emitting two
+uint8 output volumes (valid since the min-normalized per-direction cost
+is bounded by C_max + P2 < 256).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 32000  # plain int: jnp scalars would be captured constants in the kernel
+
+
+def _step(prev, cost_i32, P1, P2):
+    """One SGM update on an (S, D) int32 slab (Mosaic has no int16
+    reductions, so the carry math runs in int32; emissions stay uint8)."""
+    minprev = jnp.min(prev, axis=-1, keepdims=True)
+    up = jnp.concatenate([jnp.full_like(prev[:, :1], _BIG), prev[:, :-1]], axis=1)
+    dn = jnp.concatenate([prev[:, 1:], jnp.full_like(prev[:, :1], _BIG)], axis=1)
+    best = jnp.minimum(
+        jnp.minimum(prev, minprev + P2),
+        jnp.minimum(up, dn) + P1,
+    )
+    return cost_i32 + best - minprev
+
+
+def _pair_kernel(cf_ref, cb_ref, of_ref, ob_ref, fwd, bwd, *, P1, P2, shift):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        fwd[...] = jnp.full_like(fwd, _BIG)
+        bwd[...] = jnp.full_like(bwd, _BIG)
+
+    f = fwd[...]
+    b = bwd[...]
+    if shift != 0:
+        B = f.shape[0]
+        # pltpu.roll requires non-negative shifts; roll(-s) == roll(B - s).
+        f = pltpu.roll(f, shift % B, axis=0)
+        b = pltpu.roll(b, (-shift) % B, axis=0)
+        # Boundary reset via select on a row iota (Mosaic has no scatter).
+        rows = jax.lax.broadcasted_iota(jnp.int32, f.shape, 0)
+        if shift > 0:
+            f = jnp.where(rows < shift, _BIG, f)
+            b = jnp.where(rows >= B - shift, _BIG, b)
+        else:
+            f = jnp.where(rows >= B + shift, _BIG, f)
+            b = jnp.where(rows < -shift, _BIG, b)
+
+    f = _step(f, cf_ref[0].astype(jnp.int32), P1, P2)
+    b = _step(b, cb_ref[0].astype(jnp.int32), P1, P2)
+    fwd[...] = f
+    bwd[...] = b
+    of_ref[0] = f.astype(jnp.uint8)
+    ob_ref[0] = b.astype(jnp.uint8)
+
+
+def _run_pair(cost: jnp.ndarray, P1: int, P2: int, shift: int = 0, interpret: bool = False):
+    """cost: (S, B, D) uint8 -> (ys_fwd, ys_bwd) uint8, forward walking
+    0..S-1 and backward walking S-1..0 (outputs stored at their true
+    positions, so ys_bwd needs no flip)."""
+    S, B, D = cost.shape
+    kernel = functools.partial(_pair_kernel, P1=P1, P2=P2, shift=shift)
+    out_shape = [
+        jax.ShapeDtypeStruct((S, B, D), jnp.uint8),
+        jax.ShapeDtypeStruct((S, B, D), jnp.uint8),
+    ]
+    grid = (S,)
+    blk = (1, B, D)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(blk, lambda i: (i, 0, 0)),
+            pl.BlockSpec(blk, lambda i: (S - 1 - i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(blk, lambda i: (i, 0, 0)),
+            pl.BlockSpec(blk, lambda i: (S - 1 - i, 0, 0)),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((B, D), jnp.int32),
+            pltpu.VMEM((B, D), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cost, cost)
+
+
+def sgm_aggregate_pallas(cost: jnp.ndarray, P1: int, P2: int, directions: int = 8, interpret: bool = False) -> jnp.ndarray:
+    """Drop-in replacement for sgm.sgm_aggregate using Pallas kernels.
+
+    cost: (H, W, D) uint8; returns (H, W, D) int16 aggregated sums.
+    """
+    assert directions in (2, 4, 8)
+    assert 64 + P2 < 256, "P2 too large for uint8 direction emissions"
+    c = cost if cost.dtype == jnp.uint8 else cost.astype(jnp.uint8)
+    H, W, D = c.shape
+
+    cT = jnp.transpose(c, (1, 0, 2))  # (W, H, D) for the horizontal pair
+    hf, hb = _run_pair(cT, P1, P2, interpret=interpret)
+    agg = (
+        jnp.transpose(hf, (1, 0, 2)).astype(jnp.int16)
+        + jnp.transpose(hb, (1, 0, 2)).astype(jnp.int16)
+    )
+
+    if directions >= 4:
+        vf, vb = _run_pair(c, P1, P2, interpret=interpret)
+        agg = agg + vf.astype(jnp.int16) + vb.astype(jnp.int16)
+
+    if directions == 8:
+        d1f, d1b = _run_pair(c, P1, P2, shift=1, interpret=interpret)
+        agg = agg + d1f.astype(jnp.int16) + d1b.astype(jnp.int16)
+        d2f, d2b = _run_pair(c, P1, P2, shift=-1, interpret=interpret)
+        agg = agg + d2f.astype(jnp.int16) + d2b.astype(jnp.int16)
+
+    return agg
