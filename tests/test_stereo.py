@@ -142,3 +142,18 @@ class TestDensePipeline:
         ae = np.sort(np.abs(err))
         trimmed = ae[: int(len(ae) * 0.999)]
         assert trimmed.mean() < 0.04
+
+
+class TestPallasSGM:
+    def test_pallas_matches_scan(self, rng):
+        """The Pallas aggregation must be bit-identical to the lax.scan
+        implementation (interpret mode on CPU)."""
+        from wass_tpu.stereo.sgm_pallas import sgm_aggregate_pallas
+
+        img = (rng.random((48, 64)) * 255).astype(np.float32)
+        cb = census_transform(jnp.asarray(img), (5, 5))
+        vol = census_cost_volume(cb, cb, 32)
+        for dirs in (2, 4, 8):
+            a = np.asarray(sgm_aggregate(vol, 8, 96, dirs))
+            b = np.asarray(sgm_aggregate_pallas(vol, 8, 96, dirs, interpret=True))
+            np.testing.assert_array_equal(a, b)

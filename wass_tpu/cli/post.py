@@ -260,6 +260,48 @@ def radiance_threshold(ncfile, cam, threshold_val, use_vats):
     click.echo(f"wrote {name}")
 
 
+@cli.command()
+@click.argument("ncfile", type=click.Path(exists=True))
+@click.option("--cam", type=int, default=0)
+@click.option("--wassdir", type=click.Path(exists=True), required=True)
+@click.option("--outputdir", type=click.Path(), required=True)
+@click.option("--numframes", type=int, default=0)
+def polarimetric_setup(ncfile, cam, wassdir, outputdir, numframes):
+    """Grid-sampled Stokes / normals / incidence averages for polarimetric
+    processing (wasspost `polarimetric_setup`, wasspost.py:634-805).
+    Requires Stokes tiffs from the prepare stage (save_stokes=True)."""
+    import imageio.v3 as iio
+    from wass_tpu.io.workdir import frame_workdirs
+    from wass_tpu.post.polarimetric import PolarimetricAccumulator, accumulate_frame
+
+    out = Path(outputdir)
+    out.mkdir(parents=True, exist_ok=True)
+    wds = frame_workdirs(wassdir)
+    with _open(ncfile) as f:
+        Pplane = f["meta"][f"P{cam}plane"][...]
+        Cam2Grid = f["meta"][f"Cam{cam}toGrid"][...]
+        XX = f["X_grid"][...] / 1000.0
+        YY = f["Y_grid"][...] / 1000.0
+        Z = f["Z"]
+        N = numframes if numframes > 0 else min(Z.shape[0], len(wds))
+        cam_origin = Cam2Grid @ np.array([0.0, 0, 0, 1])
+        cam_origin = cam_origin[:3] / cam_origin[3]
+
+        acc = PolarimetricAccumulator.zeros(XX.shape)
+        for i in range(N):
+            pre = wds[i].path / "undistorted" / f"{cam:08d}"
+            S0 = iio.imread(f"{pre}_S0.tiff")
+            S1 = iio.imread(f"{pre}_S1.tiff")
+            S2 = iio.imread(f"{pre}_S2.tiff")
+            acc = accumulate_frame(
+                acc, Z[i] / 1000.0, XX, YY, S0, S1, S2, Pplane, cam_origin
+            )
+    Savg, Navg, Zavg, inc = acc.finalize()
+    np.savez(out / "pdata_avg", Savg=Savg, Navg_grid=Navg, Zavg=Zavg,
+             incidence_avg=inc, Cam2Grid=Cam2Grid)
+    click.echo(f"polarimetric averages over {N} frames saved to {out/'pdata_avg.npz'}")
+
+
 def main():
     cli()
 

@@ -39,6 +39,7 @@ class PrepareConfig:
     clahe_tile_px_cam1: int = 0
     demosaic: bool = False
     hdr: bool = False
+    save_stokes: bool = False  # write _S0/_S1/_S2.tiff next to the PNGs
 
 
 @partial(jax.jit, static_argnames=("clahe_tiles", "clip_limit"))
@@ -54,6 +55,7 @@ def prepare_image(
     dist: np.ndarray,
     cfg: PrepareConfig,
     cam: int,
+    out_stokes_prefix=None,
 ) -> np.ndarray:
     """Process one raw frame into its undistorted 8-bit image."""
     imgj = jnp.asarray(img, jnp.float32)
@@ -63,6 +65,11 @@ def prepare_image(
     if cfg.demosaic:
         res = polarimetric_process(imgj, Kj, dj, use_hdr=cfg.hdr)
         out = res.intensity
+        if cfg.save_stokes and out_stokes_prefix is not None:
+            import imageio.v3 as iio
+
+            for name, arr in (("S0", res.S0), ("S1", res.S1), ("S2", res.S2)):
+                iio.imwrite(f"{out_stokes_prefix}_{name}.tiff", np.asarray(arr, np.float32))
         tile_px = cfg.clahe_tile_px_cam0 if cam == 0 else cfg.clahe_tile_px_cam1
         clip = cfg.clahe_clip_limit_cam0 if cam == 0 else cfg.clahe_clip_limit_cam1
         if tile_px > 0:
@@ -92,8 +99,10 @@ def prepare_frame(
 ) -> Workdir:
     """Create and populate one frame workdir (the wass_prepare contract)."""
     wd = Workdir(workdir_path).create()
-    u0 = prepare_image(img0, K0, d0, cfg, cam=0)
-    u1 = prepare_image(img1, K1, d1, cfg, cam=1)
+    pref0 = wd.path / "undistorted" / "00000000" if cfg.save_stokes else None
+    pref1 = wd.path / "undistorted" / "00000001" if cfg.save_stokes else None
+    u0 = prepare_image(img0, K0, d0, cfg, cam=0, out_stokes_prefix=pref0)
+    u1 = prepare_image(img1, K1, d1, cfg, cam=1, out_stokes_prefix=pref1)
     wd.save_undistorted(0, u0)
     wd.save_undistorted(1, u1)
     wd.save_intrinsics(0, K0)
