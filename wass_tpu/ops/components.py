@@ -47,7 +47,7 @@ def label_components(
     valid: jnp.ndarray,
     edge_h: Optional[jnp.ndarray] = None,
     edge_v: Optional[jnp.ndarray] = None,
-    max_iters: int = 64,
+    max_iters: int = 12,
 ) -> jnp.ndarray:
     """Label 4-connected components of a validity mask.
 
@@ -84,16 +84,13 @@ def label_components(
         lbl = _seg_min_scan(lbl, conn_up, axis=0, reverse=True)
         return lbl
 
-    def cond(state):
-        i, lbl, changed = state
-        return (i < max_iters) & changed
-
-    def body(state):
-        i, lbl, _ = state
-        new = one_round(lbl)
-        return i + 1, new, jnp.any(new != lbl)
-
-    _, labels, _ = jax.lax.while_loop(cond, body, (0, init, True))
+    # Fixed iteration count (fori_loop): a convergence check would cost a
+    # full-array compare + a host-visible sync per round; each round's four
+    # segmented scans propagate labels across entire row/column runs, so
+    # max_iters rounds handle components whose shape needs that many
+    # alternations (~2x the number of "spiral turns" — far beyond anything
+    # a wave surface produces).
+    labels = jax.lax.fori_loop(0, max_iters, lambda _, lbl: one_round(lbl), init)
     return jnp.where(valid, labels, _INF)
 
 
@@ -112,7 +109,7 @@ def biggest_component_mask(
     valid: jnp.ndarray,
     edge_h: Optional[jnp.ndarray] = None,
     edge_v: Optional[jnp.ndarray] = None,
-    max_iters: int = 64,
+    max_iters: int = 12,
 ) -> jnp.ndarray:
     """Mask of the largest connected component of `valid`."""
     labels = label_components(valid, edge_h, edge_v, max_iters)
@@ -126,7 +123,7 @@ def biggest_component_mask(
     return (labels == best_label) & valid
 
 
-def zgap_component_mask(z: jnp.ndarray, valid: jnp.ndarray, max_zgap: jnp.ndarray, max_iters: int = 64) -> jnp.ndarray:
+def zgap_component_mask(z: jnp.ndarray, valid: jnp.ndarray, max_zgap: jnp.ndarray, max_iters: int = 12) -> jnp.ndarray:
     """Largest component where 4-neighbors connect only if |dz| < max_zgap.
 
     This is the TPU form of PovMesh::cluster_biggest_connected_component

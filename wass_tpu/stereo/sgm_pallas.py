@@ -135,3 +135,59 @@ def sgm_aggregate_pallas(cost: jnp.ndarray, P1: int, P2: int, directions: int = 
         agg = agg + d2f.astype(jnp.int16) + d2b.astype(jnp.int16)
 
     return agg
+
+
+def _cost_kernel(cb_ref, cm_ref, out_ref, *, num_disp, min_disp, max_cost):
+    """Census cost for one row tile: out[r, x, d] = popcount(cb[r, x] ^
+    cm[r, x - min_disp - d]), unrolled over d (static stores per lane
+    plane).  The full row is resident in VMEM, so the disparity shifts are
+    pure slices."""
+    cb = cb_ref[...]  # (rows, W, nw) uint32
+    cm = cm_ref[...]
+    rows, W, nw = cb.shape
+
+    for d_i in range(num_disp):
+        d = min_disp + d_i
+        if d == 0:
+            shifted = cm
+        elif d > 0:
+            shifted = jnp.concatenate([cm[:, :1].repeat(min(d, W), axis=1), cm[:, : max(W - d, 0)]], axis=1) if d < W else cm[:, :1].repeat(W, axis=1)
+        else:
+            shifted = jnp.concatenate([cm[:, -d:], cm[:, -1:].repeat(min(-d, W), axis=1)], axis=1)
+        x = jax.lax.population_count(cb ^ shifted)
+        c = jnp.sum(x, axis=-1).astype(jnp.uint8)
+        if d > 0:
+            cols = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+            c = jnp.where(cols - d >= 0, c, jnp.uint8(max_cost))
+        out_ref[:, :, d_i] = c
+
+
+def census_cost_volume_pallas(
+    census_base: jnp.ndarray,
+    census_match: jnp.ndarray,
+    num_disp: int,
+    min_disp: int = 0,
+    rows_per_tile: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas census cost volume: one grid step per row tile with the whole
+    row pair in VMEM — replaces the lax.map-over-D build (256 sequential
+    XLA steps at 3 MP) with ~H/8 pipelined tiles."""
+    H, W, nw = census_base.shape
+    assert H % rows_per_tile == 0, "pad image height to the tile size"
+    max_cost = min(32 * nw, 255)
+    kernel = functools.partial(
+        _cost_kernel, num_disp=num_disp, min_disp=min_disp, max_cost=max_cost
+    )
+    grid = (H // rows_per_tile,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows_per_tile, W, nw), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows_per_tile, W, nw), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows_per_tile, W, num_disp), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((H, W, num_disp), jnp.uint8),
+        interpret=interpret,
+    )(census_base, census_match)
