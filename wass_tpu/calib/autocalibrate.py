@@ -157,6 +157,37 @@ def autocalibrate_sequence(workdirs: Sequence, cfg: AutocalConfig = AutocalConfi
     uv1 = np.concatenate(uv1_all)
     res = autocalibrate_pooled(uv0, uv1, K0, K1, cfg)
     if res is not None and res.improved:
+        # 0->1 pixel-match homography (cv::findHomography equivalent via
+        # normalized DLT on all pooled matches, wass_autocalibrate.cpp:359).
+        H = _pixel_homography(uv0, uv1)
         for wd in workdirs:
             wd.save_extrinsics(res.R, res.T)
+            if H is not None:
+                wd.save_homography(H)
     return res
+
+
+def _pixel_homography(uv0: np.ndarray, uv1: np.ndarray):
+    """Normalized DLT homography on pixel matches (host, f64)."""
+    if len(uv0) < 4:
+        return None
+
+    def norm(pts):
+        c = pts.mean(0)
+        s = np.sqrt(2.0) / max(np.mean(np.linalg.norm(pts - c, axis=1)), 1e-12)
+        T = np.array([[s, 0, -s * c[0]], [0, s, -s * c[1]], [0, 0, 1.0]])
+        return (np.c_[pts, np.ones(len(pts))] @ T.T)[:, :2], T
+
+    a, Ta = norm(np.asarray(uv0, np.float64))
+    b, Tb = norm(np.asarray(uv1, np.float64))
+    x0, y0 = a[:, 0], a[:, 1]
+    x1, y1 = b[:, 0], b[:, 1]
+    z = np.zeros_like(x0)
+    o = np.ones_like(x0)
+    r1 = np.stack([x0, y0, o, z, z, z, -x1 * x0, -x1 * y0, -x1], -1)
+    r2 = np.stack([z, z, z, x0, y0, o, -y1 * x0, -y1 * y0, -y1], -1)
+    A = np.concatenate([r1, r2])
+    _, _, Vt = np.linalg.svd(A, full_matrices=False)
+    Hn = Vt[-1].reshape(3, 3)
+    H = np.linalg.inv(Tb) @ Hn @ Ta
+    return H / H[2, 2]

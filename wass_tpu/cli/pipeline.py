@@ -84,6 +84,13 @@ class SequencePipeline:
             wd.save_matches("matches_epionly.txt", res.uv0_epi, res.uv1_epi)
             wd.save_matches("matches_unfiltered.txt", res.uv0_all, res.uv1_all)
             wd.save_matcher_stats(res.n_matches, res.epi_avg, res.epi_std, res.epi_min, res.epi_max)
+            try:
+                from wass_tpu.utils.render import render_matches
+
+                render_matches(wd.path / "matches.jpg", img0, img1, res.uv0_pose, res.uv1_pose)
+                render_matches(wd.path / "matches_epifilter.jpg", img0, img1, res.uv0_epi, res.uv1_epi)
+            except Exception:
+                pass  # debug imagery must never fail the stage
             n_ok += 1
         return n_ok
 
@@ -131,11 +138,12 @@ class SequencePipeline:
                 pts_plane = pts
             wd.save_mesh(pts_plane, Rinv, Tinv)
 
-            # Projection matrices / camera poses in the cam0 frame.
+            # Projection matrices / camera poses in the cam0 frame, using
+            # the same baseline-normalized T as the reconstruction.
             P0 = K0 @ np.hstack([np.eye(3), np.zeros((3, 1))])
-            P1 = K1 @ np.hstack([np.asarray(R), np.asarray(T).reshape(3, 1)])
+            P1 = K1 @ np.hstack([geom.R, geom.T.reshape(3, 1)])
             wd.save_projection_matrices(P0, P1)
-            wd.save_camera_poses(np.eye(3), np.zeros(3), R, T)
+            wd.save_camera_poses(np.eye(3), np.zeros(3), geom.R, geom.T)
 
         # Aggregate planes (wasscli.py:320-343).
         out = self.outdir / "output"

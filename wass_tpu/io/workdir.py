@@ -39,12 +39,21 @@ class Workdir:
         return self.path / "undistorted" / f"{cam:08d}.png"
 
     def save_undistorted(self, cam: int, img: np.ndarray) -> None:
+        img8 = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+        from wass_tpu import native
+
+        if native.available():
+            native.png_write_gray(self.undistorted_path(cam), img8)
+            return
         import imageio.v3 as iio
 
-        img8 = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
         iio.imwrite(self.undistorted_path(cam), img8)
 
     def load_undistorted(self, cam: int) -> np.ndarray:
+        from wass_tpu import native
+
+        if native.available():
+            return native.png_read_gray(self.undistorted_path(cam)).astype(np.float32)
         import imageio.v3 as iio
 
         img = iio.imread(self.undistorted_path(cam))
@@ -93,6 +102,10 @@ class Workdir:
             f.write(f"{n_matches};{avg:.15g};{std:.15g};{mn:.15g};{mx:.15g}\n")
 
     # --- stereo outputs ---------------------------------------------------
+    def save_homography(self, H: np.ndarray) -> None:
+        """H.xml: the 0->1 match homography (wass_autocalibrate.cpp:359,372)."""
+        matrices.save_matrix_xml(self.path / "H.xml", "H", H)
+
     def save_plane(self, plane) -> None:
         """plane.txt: 4 coefficients, one per line, 20 digits
         (wass_stereo.cpp:2092-2100); 'nan nan nan nan' when RANSAC failed."""

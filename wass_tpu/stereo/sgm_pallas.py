@@ -155,7 +155,8 @@ def _cost_kernel(cb_ref, cm_ref, out_ref, *, num_disp, min_disp, max_cost):
         else:
             shifted = jnp.concatenate([cm[:, -d:], cm[:, -1:].repeat(min(-d, W), axis=1)], axis=1)
         x = jax.lax.population_count(cb ^ shifted)
-        c = jnp.sum(x, axis=-1).astype(jnp.uint8)
+        # Mosaic has no unsigned reductions: sum in int32.
+        c = jnp.sum(x.astype(jnp.int32), axis=-1).astype(jnp.uint8)
         if d > 0:
             cols = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
             c = jnp.where(cols - d >= 0, c, jnp.uint8(max_cost))
