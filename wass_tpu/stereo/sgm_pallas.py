@@ -156,11 +156,14 @@ def _cost_kernel(cb_ref, cm_ref, out_ref, *, num_disp, min_disp, max_cost):
             shifted = jnp.concatenate([cm[:, -d:], cm[:, -1:].repeat(min(-d, W), axis=1)], axis=1)
         x = jax.lax.population_count(cb ^ shifted)
         # Mosaic has no unsigned reductions: sum in int32.
-        c = jnp.sum(x.astype(jnp.int32), axis=-1).astype(jnp.uint8)
+        c32 = jnp.sum(x.astype(jnp.int32), axis=-1)
         if d > 0:
-            cols = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
-            c = jnp.where(cols - d >= 0, c, jnp.uint8(max_cost))
-        out_ref[:, :, d_i] = c
+            # Arithmetic mask (a bool-select here trips a Mosaic relayout
+            # bug on i1 vectors): columns with x - d < 0 get max_cost.
+            cols = jax.lax.broadcasted_iota(jnp.int32, c32.shape, 1)
+            m = jnp.minimum(jnp.maximum(cols - (d - 1), 0), 1)  # 1 iff col >= d
+            c32 = c32 * m + max_cost * (1 - m)
+        out_ref[:, :, d_i] = c32.astype(jnp.uint8)
 
 
 def census_cost_volume_pallas(
