@@ -55,8 +55,12 @@ def prepare(cam0_dir, cam1_dir, calibdir, outdir, continue_if_existing):
     calib = Path(calibdir)
     K0 = load_matrix(calib / "intrinsics_00.xml")
     K1 = load_matrix(calib / "intrinsics_01.xml")
-    d0 = load_matrix(calib / "distortion_00.xml").reshape(-1)
-    d1 = load_matrix(calib / "distortion_01.xml").reshape(-1)
+    # Distortion files are optional (wass_prepare.cpp:433-443: "Assuming no
+    # distortion" when absent).
+    d0 = (load_matrix(calib / "distortion_00.xml").reshape(-1)
+          if (calib / "distortion_00.xml").exists() else np.zeros(5))
+    d1 = (load_matrix(calib / "distortion_01.xml").reshape(-1)
+          if (calib / "distortion_01.xml").exists() else np.zeros(5))
     ext_R = ext_T = None
     if (calib / "ext_R.xml").exists():
         ext_R = load_matrix(calib / "ext_R.xml")

@@ -101,6 +101,14 @@ def spectrum(ncfile, nperseg, rangespan, variable):
         out = Path(ncfile).with_suffix(".spectrum.csv")
         np.savetxt(out, np.c_[fr, S], delimiter=";", header="f_Hz;S_m2_per_Hz")
         click.echo(f"spectrum saved to {out}")
+        try:
+            from wass_tpu.post.plotting import plot_spectrum
+
+            png = Path(ncfile).with_suffix(".spectrum.png")
+            plot_spectrum(fr, S, png)
+            click.echo(f"plot saved to {png}")
+        except Exception as e:
+            click.echo(f"(plot skipped: {e})")
 
 
 @cli.command()

@@ -137,32 +137,24 @@ def sgm_aggregate_pallas(cost: jnp.ndarray, P1: int, P2: int, directions: int = 
     return agg
 
 
-def _cost_kernel(cb_ref, cm_ref, out_ref, *, num_disp, min_disp, max_cost):
-    """Census cost for one row tile: out[r, x, d] = popcount(cb[r, x] ^
-    cm[r, x - min_disp - d]), unrolled over d (static stores per lane
-    plane).  The full row is resident in VMEM, so the disparity shifts are
-    pure slices."""
+def _cost_kernel(cb_ref, cmp_ref, out_ref, *, num_disp, min_disp):
+    """Census cost for one row tile from a *padded* match census row:
+    cmp_ref holds cm padded on the left by (num_disp + min_disp) columns,
+    so every disparity's shifted view is a single static slice — one
+    slice + xor + popcount per d keeps the unrolled Mosaic program small.
+    The left-border invalid triangle (x - d < 0) is patched outside the
+    kernel with one fused select over the volume."""
     cb = cb_ref[...]  # (rows, W, nw) uint32
-    cm = cm_ref[...]
+    cmp = cmp_ref[...]  # (rows, W + num_disp + min_disp, nw) uint32
     rows, W, nw = cb.shape
+    P = num_disp + min_disp
 
     for d_i in range(num_disp):
         d = min_disp + d_i
-        if d == 0:
-            shifted = cm
-        elif d > 0:
-            shifted = jnp.concatenate([cm[:, :1].repeat(min(d, W), axis=1), cm[:, : max(W - d, 0)]], axis=1) if d < W else cm[:, :1].repeat(W, axis=1)
-        else:
-            shifted = jnp.concatenate([cm[:, -d:], cm[:, -1:].repeat(min(-d, W), axis=1)], axis=1)
+        shifted = cmp[:, P - d : P - d + W]
         x = jax.lax.population_count(cb ^ shifted)
         # Mosaic has no unsigned reductions: sum in int32.
         c32 = jnp.sum(x.astype(jnp.int32), axis=-1)
-        if d > 0:
-            # Arithmetic mask (a bool-select here trips a Mosaic relayout
-            # bug on i1 vectors): columns with x - d < 0 get max_cost.
-            cols = jax.lax.broadcasted_iota(jnp.int32, c32.shape, 1)
-            m = jnp.minimum(jnp.maximum(cols - (d - 1), 0), 1)  # 1 iff col >= d
-            c32 = c32 * m + max_cost * (1 - m)
         out_ref[:, :, d_i] = c32.astype(jnp.uint8)
 
 
@@ -180,18 +172,22 @@ def census_cost_volume_pallas(
     H, W, nw = census_base.shape
     assert H % rows_per_tile == 0, "pad image height to the tile size"
     max_cost = min(32 * nw, 255)
-    kernel = functools.partial(
-        _cost_kernel, num_disp=num_disp, min_disp=min_disp, max_cost=max_cost
-    )
+    P = num_disp + min_disp
+    cmp = jnp.pad(census_match, ((0, 0), (P, 0), (0, 0)))
+    kernel = functools.partial(_cost_kernel, num_disp=num_disp, min_disp=min_disp)
     grid = (H // rows_per_tile,)
-    return pl.pallas_call(
+    vol = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((rows_per_tile, W, nw), lambda i: (i, 0, 0)),
-            pl.BlockSpec((rows_per_tile, W, nw), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows_per_tile, W + P, nw), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((rows_per_tile, W, num_disp), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((H, W, num_disp), jnp.uint8),
         interpret=interpret,
-    )(census_base, census_match)
+    )(census_base, cmp)
+    # Patch the invalid left-border triangle (match x-coordinate < 0).
+    xx = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+    dd = (jnp.arange(num_disp, dtype=jnp.int32) + min_disp)[None, None, :]
+    return jnp.where(xx - dd >= 0, vol, jnp.uint8(max_cost))
