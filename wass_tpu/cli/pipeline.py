@@ -121,6 +121,15 @@ class SequencePipeline:
             match_rect = rectify_on_device(m, geom.H_match, (H, W))
             res = pipe(base_rect, match_rect, b, m, build_geom_pack(geom, (H, W)))
 
+            # MIN_TRIANGULATED_POINTS gate (wass_stereo.cpp:1993-1997): the
+            # reference aborts the process; we mark the frame failed (nan
+            # plane, empty mesh) and keep the sequence going.
+            if int(res.n_points) < self.cfg.stereo.min_triangulated:
+                wd.save_plane(None)
+                wd.save_mesh(np.zeros((0, 3)), np.eye(3), np.zeros(3))
+                planes.append(np.full(4, np.nan))
+                continue
+
             plane = np.array(res.plane, np.float64)
             wd.save_plane(plane if bool(res.plane_ok) else None)
             planes.append(plane)

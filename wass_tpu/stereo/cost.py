@@ -85,8 +85,17 @@ def census_cost_volume(
         valid = xx - d >= 0
         return jnp.where(valid, c, max_cost)
 
-    # Sequential map over the disparity axis: peak memory = the output
-    # volume + one (H, W) slice, instead of the (D, H, W, words) shifted
-    # tensor a vmap would materialize (6+ GB at 3 MP / 256 disparities).
-    vols = jax.lax.map(cost_for_disp, jnp.arange(num_disp))  # (D, H, W)
+    # Chunked over the disparity axis: a full vmap would materialize the
+    # (D, H, W, words) shifted tensor (6+ GB at 3 MP / 256 disparities), a
+    # scalar map pays ~256 sequential dispatch steps.  Chunks of 32 keep the
+    # peak at ~(32, H, W, words) while needing only D/32 steps.
+    chunk = min(32, num_disp)
+    n_chunks = -(-num_disp // chunk)
+    padded = n_chunks * chunk
+
+    def chunk_fn(j0):
+        return jax.vmap(lambda j: cost_for_disp(j0 + j))(jnp.arange(chunk))
+
+    vols = jax.lax.map(chunk_fn, jnp.arange(n_chunks) * chunk)  # (n, chunk, H, W)
+    vols = vols.reshape(padded, H, W)[:num_disp]
     return jnp.transpose(vols, (1, 2, 0))  # (H, W, D)

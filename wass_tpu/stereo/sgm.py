@@ -231,18 +231,11 @@ def sgm_disparity(
 
     cb = census_transform(base_img, census_win)
     cm = census_transform(match_img, census_win)
+    cost = census_cost_volume(cb, cm, num_disp, min_disp)
     if use_pallas:
-        from wass_tpu.stereo.sgm_pallas import census_cost_volume_pallas, sgm_aggregate_pallas
+        from wass_tpu.stereo.sgm_pallas import sgm_aggregate_pallas
 
-        H = base_img.shape[0]
-        pad = (-H) % 8
-        if pad:
-            cb = jnp.pad(cb, ((0, pad), (0, 0), (0, 0)))
-            cm = jnp.pad(cm, ((0, pad), (0, 0), (0, 0)))
-        cost = census_cost_volume_pallas(cb, cm, num_disp, min_disp)
-        cost = cost[:H] if pad else cost
         agg = sgm_aggregate_pallas(cost, P1, P2, directions)
     else:
-        cost = census_cost_volume(cb, cm, num_disp, min_disp)
         agg = sgm_aggregate(cost, P1, P2, directions)
     return wta_disparity(agg, min_disp, uniqueness_ratio, lr_max_diff)
