@@ -55,6 +55,7 @@ def cli(workdir, outdir, action, baseline, gridsetup, area_center, area_size, gr
             Nx=grid_size, Ny=grid_size, fps=fps,
         )
         setup.save_mat(out / "config.mat")
+        _save_area_plot(wds[0], setup, meanplane, out)
         click.echo(f"grid setup saved to {out/'config.mat'}")
         return
 
@@ -83,6 +84,37 @@ def cli(workdir, outdir, action, baseline, gridsetup, area_center, area_size, gr
     cfg = GridConfig(algorithm=algorithm, subsample_percent=subsample, median_filter_size=medianfilter)
     grid_sequence(wds, setup, out / "gridded.nc", cfg)
     click.echo(f"gridded {len(wds)} frames into {out/'gridded.nc'}")
+
+
+def _save_area_plot(wd, setup, meanplane, out: Path) -> None:
+    """area_grid.png: point cloud + grid footprint sanity check
+    (wassgridsurface.py:176-190)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from wass_tpu.io.xyzc import load_camera_mesh
+        from wass_tpu.grid.setup import align_on_sea_plane
+
+        mesh = load_camera_mesh(wd.path / "mesh_cam.xyzC")
+        ma = align_on_sea_plane(mesh, meanplane) * setup.baseline
+        fig = plt.figure(figsize=(12, 12))
+        plt.scatter(ma[0, ::50], ma[1, ::50], c=ma[2, ::50], vmin=setup.zmin, vmax=setup.zmax, s=1)
+        plt.gca().invert_yaxis()
+        plt.colorbar()
+        plt.plot(
+            [setup.xmin, setup.xmax, setup.xmax, setup.xmin, setup.xmin],
+            [setup.ymin, setup.ymin, setup.ymax, setup.ymax, setup.ymin],
+            "-k", linewidth=2,
+        )
+        plt.axis("equal")
+        plt.title(f"WASS point cloud {wd.path}")
+        plt.grid(True, which="both", alpha=0.3)
+        fig.savefig(out / "area_grid.png", bbox_inches="tight", dpi=100)
+        plt.close(fig)
+    except Exception as e:  # diagnostics must never fail the stage
+        click.echo(f"(area plot skipped: {e})")
 
 
 def main():
