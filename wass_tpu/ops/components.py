@@ -95,7 +95,9 @@ def label_components(
 
 
 def component_sizes(labels: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Per-pixel size of the component each pixel belongs to."""
+    """Per-pixel size of the component each pixel belongs to (exact;
+    scatter-based — fine for small grids, prefer biggest_component_mask's
+    sort-based path on large frames)."""
     H, W = labels.shape
     flat = labels.reshape(-1)
     counts = jnp.zeros((H * W + 1,), jnp.int32)
@@ -103,6 +105,22 @@ def component_sizes(labels: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     counts = counts.at[safe].add(1)
     sizes = counts[jnp.clip(flat, 0, H * W - 1)]
     return jnp.where(valid, sizes.reshape(H, W), 0)
+
+
+def _modal_label(labels: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Label of the largest component, scatter-free: sort the flat labels
+    and find the longest run via a cumulative-max of run boundaries.
+    Ties resolve to the smallest label (runs are sorted ascending)."""
+    flat = jnp.where(valid, labels, _INF).reshape(-1)
+    s = jnp.sort(flat)
+    n = s.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    boundary = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+    last_boundary = jax.lax.associative_scan(jnp.maximum, jnp.where(boundary, pos, -1))
+    runlen = pos - last_boundary + 1
+    runlen = jnp.where(s == _INF, 0, runlen)
+    i_best = jnp.argmax(runlen)
+    return s[i_best]
 
 
 def biggest_component_mask(
@@ -113,13 +131,7 @@ def biggest_component_mask(
 ) -> jnp.ndarray:
     """Mask of the largest connected component of `valid`."""
     labels = label_components(valid, edge_h, edge_v, max_iters)
-    sizes = component_sizes(labels, valid)
-    best = jnp.max(sizes)
-    # All pixels whose component size equals the max size; if several
-    # components tie, keep the one with the smallest label (deterministic).
-    tied = (sizes == best) & valid
-    tied_labels = jnp.where(tied, labels, _INF)
-    best_label = jnp.min(tied_labels)
+    best_label = _modal_label(labels, valid)
     return (labels == best_label) & valid
 
 

@@ -279,21 +279,23 @@ def triangulate_dense(
     return pts, valid
 
 
-def _masked_percentile_hist(values: jnp.ndarray, mask: jnp.ndarray, pct: float, n_bins: int = 4096) -> jnp.ndarray:
-    """Approximate percentile of masked values via a fixed histogram —
-    O(N) scatter + tiny cumsum instead of a full sort (the exact sort is
-    ~10M elements at 3 MP and dominated the outlier stage)."""
-    big = jnp.max(jnp.where(mask, values, 0.0))
-    scale = jnp.maximum(big, 1e-12)
-    idx = jnp.clip((values / scale * n_bins).astype(jnp.int32), 0, n_bins - 1)
-    idx = jnp.where(mask, idx, n_bins)  # dump masked-out into an overflow bin
-    hist = jnp.zeros(n_bins + 1, jnp.int32).at[idx.reshape(-1)].add(1)
-    hist = hist[:n_bins]
-    total = jnp.maximum(jnp.sum(hist), 1)
-    cum = jnp.cumsum(hist)
+def _masked_percentile_bisect(values: jnp.ndarray, mask: jnp.ndarray, pct: float, iters: int = 20) -> jnp.ndarray:
+    """Approximate masked percentile by bisection on the value axis: each
+    iteration is one masked count-below reduction over the array — no sort,
+    no scatter (both were compile/runtime pathologies at 3 MP)."""
+    total = jnp.maximum(jnp.sum(mask), 1)
     target = (pct / 100.0) * total
-    bin_i = jnp.argmax(cum >= target)
-    return (bin_i + 1).astype(values.dtype) / n_bins * scale
+    hi0 = jnp.max(jnp.where(mask, values, 0.0))
+
+    def body(_, bounds):
+        lo, hi = bounds
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(jnp.where(mask, values <= mid, False))
+        below = cnt < target
+        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (jnp.zeros_like(hi0), hi0))
+    return hi
 
 
 def outlier_removal(pts: jnp.ndarray, valid: jnp.ndarray, cfg: DenseStereoConfig):
@@ -317,7 +319,7 @@ def outlier_removal(pts: jnp.ndarray, valid: jnp.ndarray, cfg: DenseStereoConfig
         masks.append(m)
     allgaps = jnp.stack(gaps)
     allmasks = jnp.stack(masks)
-    zgap = _masked_percentile_hist(allgaps, allmasks, cfg.zgap_percentile)
+    zgap = _masked_percentile_bisect(allgaps, allmasks, cfg.zgap_percentile)
     keep = zgap_component_mask(z, valid, zgap)
     return keep, zgap
 

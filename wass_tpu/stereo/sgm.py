@@ -147,42 +147,33 @@ def wta_disparity(
     disparity (in the base=right convention); 0 marks invalid.
     """
     H, W, D = agg.shape
+    didx = jnp.arange(D, dtype=jnp.int32)[None, None, :]
 
-    # Row-band processing keeps the int32 upcast and the (band, W, D)
-    # uniqueness broadcast small; the full-resolution volume is only ever
-    # resident as int16.
-    band = max(1, min(H, (1 << 25) // max(W * D, 1)))  # ~32M elements/band
-    n_bands = -(-H // band)
-    pad_h = n_bands * band - H
-    a16 = jnp.pad(agg, ((0, pad_h), (0, 0), (0, 0)), constant_values=_BIG)
-    bands = a16.reshape(n_bands, band, W, D)
+    # Gather-free formulation: every per-pixel quantity is a masked
+    # reduction over the D axis (argmin/take_along_axis gathers at
+    # (H, W, D) were pathological for the TPU compiler).  XLA fuses each
+    # broadcast+select into its reduction, so the volume streams from HBM
+    # a handful of times and nothing (H, W, D)-sized materializes.
+    a = agg.astype(jnp.int32)
+    dmin = jnp.min(a, axis=-1)
+    best = jnp.min(jnp.where(a == dmin[..., None], didx, D), axis=-1)
 
-    def one_band(ab):
-        a = ab.astype(jnp.int32)
-        best = jnp.argmin(a, axis=-1)  # (band, W)
-        dmin = jnp.min(a, axis=-1)
-        # Uniqueness: any cost within ratio at |d - best| > 1 invalidates.
-        didx = jnp.arange(D)[None, None, :]
-        far = jnp.abs(didx - best[..., None]) > 1
-        thresh = dmin * (100 + uniqueness_ratio) // 100
-        bad_unique = jnp.any((a <= thresh[..., None]) & far, axis=-1)
+    big = jnp.int32(1 << 30)
+    sm1 = jnp.min(jnp.where(didx == best[..., None] - 1, a, big), axis=-1)
+    sp1 = jnp.min(jnp.where(didx == best[..., None] + 1, a, big), axis=-1)
 
-        # Parabola subpixel around the winner.
-        bm1 = jnp.clip(best - 1, 0, D - 1)
-        bp1 = jnp.clip(best + 1, 0, D - 1)
-        take = lambda idx: jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
-        sm1 = take(bm1)
-        sp1 = take(bp1)
-        denom = jnp.maximum(sm1 + sp1 - 2 * dmin, 1)
-        delta = jnp.clip((sm1 - sp1) / (2.0 * denom), -0.5, 0.5)
-        interior = (best > 0) & (best < D - 1)
-        disp = best + min_disp + jnp.where(interior, delta, 0.0)
-        return disp.astype(jnp.float32), ~bad_unique, best.astype(jnp.int32)
+    # Uniqueness: any cost within ratio at |d - best| > 1 invalidates.
+    far_min = jnp.min(jnp.where(jnp.abs(didx - best[..., None]) > 1, a, big), axis=-1)
+    thresh = dmin * (100 + uniqueness_ratio) // 100
+    valid = far_min > thresh
 
-    disp_b, valid_b, best_b = jax.lax.map(one_band, bands)
-    disp = disp_b.reshape(-1, W)[:H]
-    valid = valid_b.reshape(-1, W)[:H]
-    best = best_b.reshape(-1, W)[:H]
+    # Parabola subpixel around the winner.
+    interior = (best > 0) & (best < D - 1)
+    sm1s = jnp.where(interior, sm1, dmin)
+    sp1s = jnp.where(interior, sp1, dmin)
+    denom = jnp.maximum(sm1s + sp1s - 2 * dmin, 1)
+    delta = jnp.clip((sm1s - sp1s) / (2.0 * denom), -0.5, 0.5)
+    disp = (best + min_disp + jnp.where(interior, delta, 0.0)).astype(jnp.float32)
 
     if lr_max_diff >= 0:
         # Left-base disparity from the same aggregated volume:
