@@ -428,21 +428,83 @@ def _stage_plane(pts, valid, cfg: DenseStereoConfig):
     return jnp.where(fit.ok, plane, jnp.full(4, jnp.nan)), fit.ok, valid_f
 
 
-class DenseStereoPipeline:
-    """Staged-jit form of the dense pipeline for production/benchmarking.
+# --- fine-grained jits: the production path ---------------------------------
+# The remote TPU compile service handles small programs in seconds but takes
+# tens of minutes on a fused stage; per-piece dispatch costs ~1 ms here, so
+# production uses one jit per algorithmic step.
 
-    Identical math to dense_stereo_device, but compiled as three XLA
-    programs (disparity / triangulation+outliers / plane) — per-stage
-    compile stays manageable on remote-compile backends and the extra
-    dispatches are negligible (3 per frame)."""
+from wass_tpu.stereo.cost import census_transform as _census, census_cost_volume as _costvol
+from wass_tpu.stereo.sgm import sgm_aggregate as _agg_scan, wta_disparity as _wta
+
+
+@partial(jax.jit, static_argnames=("win",))
+def _jit_census(img, win):
+    return _census(img, win)
+
+
+@partial(jax.jit, static_argnames=("num_disp", "min_disp"))
+def _jit_cost(cb, cm, num_disp, min_disp):
+    return _costvol(cb, cm, num_disp, min_disp)
+
+
+@partial(jax.jit, static_argnames=("P1", "P2", "directions", "pallas"))
+def _jit_aggregate(cost, P1, P2, directions, pallas):
+    if pallas:
+        from wass_tpu.stereo.sgm_pallas import sgm_aggregate_pallas
+
+        return sgm_aggregate_pallas(cost, P1, P2, directions)
+    return _agg_scan(cost, P1, P2, directions)
+
+
+@partial(jax.jit, static_argnames=("min_disp", "uniqueness_ratio", "lr_max_diff"))
+def _jit_wta(agg, min_disp, uniqueness_ratio, lr_max_diff):
+    return _wta(agg, min_disp, uniqueness_ratio, lr_max_diff)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_postprocess(disp, cfg):
+    return disparity_postprocess(disp, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_triangulate(disp, geom_pack, base_img, match_img, cfg):
+    return triangulate_dense(disp, geom_pack, base_img, match_img, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_outlier(pts, valid, cfg):
+    keep, _ = outlier_removal(pts, valid, cfg)
+    return valid & keep
+
+
+class DenseStereoPipeline:
+    """Fine-grained-jit dense pipeline for production/benchmarking.
+
+    Identical math to dense_stereo_device, compiled as ~8 small XLA
+    programs (census x2, cost, SGM aggregation, WTA, postprocess,
+    triangulate, outlier, plane) — each compiles in seconds on the remote
+    TPU compiler, caches independently, and the extra dispatches are
+    negligible."""
 
     def __init__(self, cfg: DenseStereoConfig):
         self.cfg = cfg
 
     def __call__(self, base_rect, match_rect, base_img, match_img, geom_pack) -> DenseFrameResult:
-        disp = _stage_disparity(base_rect, match_rect, self.cfg)
-        pts, valid = _stage_points(disp, geom_pack, base_img, match_img, self.cfg)
-        plane, ok, valid = _stage_plane(pts, valid, self.cfg)
+        cfg = self.cfg
+        if cfg.dense_scale != 1.0:
+            h, w = base_rect.shape
+            sh, sw = round(h * cfg.dense_scale), round(w * cfg.dense_scale)
+            base_rect = resize(base_rect, (sh, sw), interp="cubic")
+            match_rect = resize(match_rect, (sh, sw), interp="cubic")
+        cb = _jit_census(base_rect, cfg.census_win)
+        cm = _jit_census(match_rect, cfg.census_win)
+        cost = _jit_cost(cb, cm, cfg.num_disp, cfg.min_disp)
+        agg = _jit_aggregate(cost, cfg.p1, cfg.p2, cfg.directions, _pallas_ok(cfg))
+        disp = _jit_wta(agg, cfg.min_disp, cfg.uniqueness_ratio, cfg.lr_max_diff)
+        disp = _jit_postprocess(disp, cfg)
+        pts, valid0 = _jit_triangulate(disp, geom_pack, base_img, match_img, cfg)
+        valid = _jit_outlier(pts, valid0, cfg)
+        plane, ok, valid = _stage_plane(pts, valid, cfg)
         return DenseFrameResult(
             points=pts, valid=valid, plane=plane, plane_ok=ok,
             disparity=disp, n_points=jnp.sum(valid),
