@@ -38,31 +38,49 @@ def triangulate_normalized(p: jnp.ndarray, q: jnp.ndarray, R: jnp.ndarray, T: jn
     px, py = p[..., 0], p[..., 1]
     qx, qy = q[..., 0], q[..., 1]
 
-    r0 = R[0]
-    r1 = R[1]
-    r2 = R[2]
-
-    # Row 3 and 4 of Af (rows 1,2 are constant-sparse).
-    a2 = qx[..., None] * r2 - r0  # (..., 3)
-    a3 = qy[..., None] * r2 - r1  # (..., 3)
+    # Rows 3 and 4 of Af, componentwise (rows 1-2 are constant-sparse).
+    # Keeping every quantity as a separate (...,)-shaped array avoids the
+    # (..., 3, 3) outer-product temporaries (3x memory traffic at 3 MP).
+    a20 = qx * R[2, 0] - R[0, 0]
+    a21 = qx * R[2, 1] - R[0, 1]
+    a22 = qx * R[2, 2] - R[0, 2]
+    a30 = qy * R[2, 0] - R[1, 0]
+    a31 = qy * R[2, 1] - R[1, 1]
+    a32 = qy * R[2, 2] - R[1, 2]
     b2 = T[0] - T[2] * qx
     b3 = T[1] - T[2] * qy
 
-    # A = Af^T Af accumulated from the four rows; rows 1-2 contribute the
-    # sparse pattern [[1,0,-px],[0,1,-py],[-px,-py,px^2+py^2]].
-    A = jnp.einsum("...i,...j->...ij", a2, a2) + jnp.einsum("...i,...j->...ij", a3, a3)
-    sparse = jnp.stack(
-        [
-            jnp.stack([jnp.ones_like(px), jnp.zeros_like(px), -px], axis=-1),
-            jnp.stack([jnp.zeros_like(px), jnp.ones_like(px), -py], axis=-1),
-            jnp.stack([-px, -py, px * px + py * py], axis=-1),
-        ],
-        axis=-2,
-    )
-    A = A + sparse
+    # A = Af^T Af (symmetric; rows 1-2 contribute
+    # [[1,0,-px],[0,1,-py],[-px,-py,px^2+py^2]]).
+    A00 = a20 * a20 + a30 * a30 + 1.0
+    A01 = a20 * a21 + a30 * a31
+    A02 = a20 * a22 + a30 * a32 - px
+    A11 = a21 * a21 + a31 * a31 + 1.0
+    A12 = a21 * a22 + a31 * a32 - py
+    A22 = a22 * a22 + a32 * a32 + px * px + py * py
 
-    b = a2 * b2[..., None] + a3 * b3[..., None]
-    return solve3x3(A, b)
+    b0 = a20 * b2 + a30 * b3
+    b1 = a21 * b2 + a31 * b3
+    bb2 = a22 * b2 + a32 * b3
+
+    # Closed-form symmetric 3x3 solve via the adjugate.
+    c00 = A11 * A22 - A12 * A12
+    c01 = A02 * A12 - A01 * A22
+    c02 = A01 * A12 - A02 * A11
+    c11 = A00 * A22 - A02 * A02
+    c12 = A01 * A02 - A00 * A12
+    c22 = A00 * A11 - A01 * A01
+    det = A00 * c00 + A01 * c01 + A02 * c02
+    inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+    x = jnp.stack(
+        [
+            (c00 * b0 + c01 * b1 + c02 * bb2) * inv_det,
+            (c01 * b0 + c11 * b1 + c12 * bb2) * inv_det,
+            (c02 * b0 + c12 * b1 + c22 * bb2) * inv_det,
+        ],
+        axis=-1,
+    )
+    return x
 
 
 def triangulate_pixels(

@@ -47,6 +47,14 @@ def ransac_find_plane(
     k1, k2 = jax.random.split(key)
     uv = jax.random.randint(k1, (rounds, 3, 2), 0, jnp.array([W, H]))  # (rounds, 3, [x, y])
 
+    # Inlier counting runs on a strided subsample on large frames: the
+    # count is only used to *rank* hypotheses, and a 1/4 systematic sample
+    # ranks identically in practice while cutting the rounds x pixels
+    # traffic 4x (the refine stage still uses every point).
+    stride = 2 if (H * W) > (1 << 20) else 1
+    pts_s = points[::stride, ::stride]
+    valid_s = valid[::stride, ::stride]
+
     def score(uv3):
         px = uv3[:, 0]
         py = uv3[:, 1]
@@ -64,14 +72,14 @@ def ransac_find_plane(
         n = n / jnp.maximum(norm, 1e-20)
         n = jnp.where(n[2] < 0, -n, n)
         d = -jnp.dot(n, p1)
-        dist = jnp.abs(points @ n + d)
-        inl = jnp.sum((dist < distance_threshold) & valid)
+        dist = jnp.abs(pts_s @ n + d)
+        inl = jnp.sum((dist < distance_threshold) & valid_s)
         good = far & ok3 & (norm > 1e-12)
         return jnp.where(good, inl, 0), jnp.concatenate([n, d[None]])
 
     counts, planes = jax.vmap(score)(uv)
     best = jnp.argmax(counts)
-    n_valid = jnp.sum(valid)
+    n_valid = jnp.sum(valid_s)
     return PlaneFit(planes[best], counts[best], counts[best] >= n_valid // 10)
 
 
