@@ -110,7 +110,15 @@ def component_sizes(labels: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 def _modal_label(labels: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Label of the largest component, scatter-free: sort the flat labels
     and find the longest run via a cumulative-max of run boundaries.
-    Ties resolve to the smallest label (runs are sorted ascending)."""
+    Ties resolve to the smallest label (runs are sorted ascending).
+
+    On large frames the vote runs on a stride-4 systematic subsample: TPU
+    sorts are O(n log^2 n) bitonic and dominate at megapixel scale, and a
+    1/16 sample ranks component sizes reliably (the surviving component is
+    orders of magnitude larger than outlier blobs)."""
+    if labels.size > (1 << 20):
+        labels = labels[::4, ::4]
+        valid = valid[::4, ::4]
     flat = jnp.where(valid, labels, _INF).reshape(-1)
     s = jnp.sort(flat)
     n = s.shape[0]

@@ -43,7 +43,7 @@ def _step(prev, cost_i32, P1, P2):
     return cost_i32 + best - minprev
 
 
-def _pair_kernel(cf_ref, cb_ref, of_ref, ob_ref, fwd, bwd, *, P1, P2, shift):
+def _pair_kernel(cf_ref, cb_ref, of_ref, ob_ref, fwd, bwd, *, P1, P2, shift, G):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -53,26 +53,31 @@ def _pair_kernel(cf_ref, cb_ref, of_ref, ob_ref, fwd, bwd, *, P1, P2, shift):
 
     f = fwd[...]
     b = bwd[...]
-    if shift != 0:
-        B = f.shape[0]
-        # pltpu.roll requires non-negative shifts; roll(-s) == roll(B - s).
-        f = pltpu.roll(f, shift % B, axis=0)
-        b = pltpu.roll(b, (-shift) % B, axis=0)
-        # Boundary reset via select on a row iota (Mosaic has no scatter).
-        rows = jax.lax.broadcasted_iota(jnp.int32, f.shape, 0)
-        if shift > 0:
-            f = jnp.where(rows < shift, _BIG, f)
-            b = jnp.where(rows >= B - shift, _BIG, b)
-        else:
-            f = jnp.where(rows >= B + shift, _BIG, f)
-            b = jnp.where(rows < -shift, _BIG, b)
+    # G scan steps per grid iteration: amortizes the per-step grid/IO
+    # overhead (the dominant cost — each step's compute is ~1 us).
+    for g in range(G):
+        if shift != 0:
+            B = f.shape[0]
+            # pltpu.roll requires non-negative shifts; roll(-s) == roll(B-s).
+            f = pltpu.roll(f, shift % B, axis=0)
+            b = pltpu.roll(b, (-shift) % B, axis=0)
+            # Boundary reset via select on a row iota (Mosaic has no scatter).
+            rows = jax.lax.broadcasted_iota(jnp.int32, f.shape, 0)
+            if shift > 0:
+                f = jnp.where(rows < shift, _BIG, f)
+                b = jnp.where(rows >= B - shift, _BIG, b)
+            else:
+                f = jnp.where(rows >= B + shift, _BIG, f)
+                b = jnp.where(rows < -shift, _BIG, b)
 
-    f = _step(f, cf_ref[0].astype(jnp.int32), P1, P2)
-    b = _step(b, cb_ref[0].astype(jnp.int32), P1, P2)
+        f = _step(f, cf_ref[g].astype(jnp.int32), P1, P2)
+        # The backward block is loaded in *forward* storage order; its g-th
+        # scan step consumes the (G-1-g)-th row of the block.
+        b = _step(b, cb_ref[G - 1 - g].astype(jnp.int32), P1, P2)
+        of_ref[g] = f.astype(jnp.uint8)
+        ob_ref[G - 1 - g] = b.astype(jnp.uint8)
     fwd[...] = f
     bwd[...] = b
-    of_ref[0] = f.astype(jnp.uint8)
-    ob_ref[0] = b.astype(jnp.uint8)
 
 
 def _run_pair(cost: jnp.ndarray, P1: int, P2: int, shift: int = 0, interpret: bool = False):
@@ -80,23 +85,27 @@ def _run_pair(cost: jnp.ndarray, P1: int, P2: int, shift: int = 0, interpret: bo
     0..S-1 and backward walking S-1..0 (outputs stored at their true
     positions, so ys_bwd needs no flip)."""
     S, B, D = cost.shape
-    kernel = functools.partial(_pair_kernel, P1=P1, P2=P2, shift=shift)
+    # Steps per grid iteration, bounded by the 16 MB VMEM budget:
+    # blocks + int32 scratch + _step temps scale with G * B * D.
+    G = 2 if (S % 2 == 0 and B * D <= 1600 * 256) else 1
+    kernel = functools.partial(_pair_kernel, P1=P1, P2=P2, shift=shift, G=G)
     out_shape = [
         jax.ShapeDtypeStruct((S, B, D), jnp.uint8),
         jax.ShapeDtypeStruct((S, B, D), jnp.uint8),
     ]
-    grid = (S,)
-    blk = (1, B, D)
+    n_blocks = S // G
+    grid = (n_blocks,)
+    blk = (G, B, D)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(blk, lambda i: (i, 0, 0)),
-            pl.BlockSpec(blk, lambda i: (S - 1 - i, 0, 0)),
+            pl.BlockSpec(blk, lambda i: (n_blocks - 1 - i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec(blk, lambda i: (i, 0, 0)),
-            pl.BlockSpec(blk, lambda i: (S - 1 - i, 0, 0)),
+            pl.BlockSpec(blk, lambda i: (n_blocks - 1 - i, 0, 0)),
         ],
         out_shape=out_shape,
         scratch_shapes=[
