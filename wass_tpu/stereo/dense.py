@@ -540,8 +540,12 @@ def build_geom_pack(geom: "FrameGeometry", image_shape) -> dict:
 # --------------------------------------------------------------------------
 
 
-def rectify_on_device(img: jnp.ndarray, Hm: np.ndarray, out_shape) -> jnp.ndarray:
-    return warp_homography(img, jnp.asarray(Hm, jnp.float32), out_shape, interp="cubic")
+def rectify_on_device(img: jnp.ndarray, Hm: np.ndarray, out_shape, interp: str = "linear") -> jnp.ndarray:
+    """Rectification warp.  Linear interpolation matches the reference's
+    custom path (cv::warpPerspective default flags, wass_stereo.cpp:522-528)
+    and costs 4 gathers/pixel instead of bicubic's 16 — the gather is the
+    single most expensive op of the whole frame on TPU."""
+    return warp_homography(img, jnp.asarray(Hm, jnp.float32), out_shape, interp=interp)
 
 
 def dense_stereo_frame(
