@@ -38,7 +38,7 @@ def _batched_frames(base_rect_b, match_rect_b, base_b, match_b, geom_pack, cfg: 
 
     def one(br, mr, bi, mi):
         disp = _stage_disparity.__wrapped__(br, mr, cfg)
-        pts, valid = _stage_points.__wrapped__(disp, geom_pack, bi, mi, cfg)
+        pts, valid = _stage_points.__wrapped__(disp, geom_pack, br, mr, cfg)
         plane, ok, valid = _stage_plane.__wrapped__(pts, valid, cfg)
         return DenseFrameResult(pts, valid, plane, ok, disp, jnp.sum(valid))
 

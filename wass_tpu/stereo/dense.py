@@ -196,8 +196,8 @@ def disparity_postprocess(disp: jnp.ndarray, cfg: DenseStereoConfig) -> jnp.ndar
 def triangulate_dense(
     disp: jnp.ndarray,
     geom_pack: dict,
-    base_img: jnp.ndarray,
-    match_img: jnp.ndarray,
+    base_rect: jnp.ndarray,
+    match_rect: jnp.ndarray,
     cfg: DenseStereoConfig,
 ):
     """Per-pixel triangulation with the reference's validity gates
@@ -225,15 +225,17 @@ def triangulate_dense(
     for uv in (uv_base, uv_match):
         valid = valid & (uv[..., 0] >= 1) & (uv[..., 0] < W - 1) & (uv[..., 1] >= 1) & (uv[..., 1] < H - 1)
 
-    # Burned-pixel masks (:1069-1093, DISCARD_BURNED_AREAS).
+    # Burned-pixel masks (:1069-1093, DISCARD_BURNED_AREAS).  The reference
+    # samples the *original* images at the unrectified coordinates; 2-D
+    # gathers are the most expensive primitive on TPU, so we evaluate the
+    # same criterion on the *rectified* images (linear warps of the
+    # originals: a >254 region stays >=254 in its interior) — the base test
+    # is elementwise and the match test is a 1-D row gather at x - d.
     if cfg.discard_burned:
-        def sample_nn(img, uv):
-            xi = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, W - 1)
-            yi = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, H - 1)
-            return img[yi, xi]
-
-        valid = valid & (sample_nn(base_img, uv_base) <= 254.0)
-        valid = valid & (sample_nn(match_img, uv_match) <= 254.0)
+        valid = valid & (base_rect <= 254.0)
+        xm_i = jnp.clip(jnp.round(xm).astype(jnp.int32), 0, W - 1)
+        match_at_corr = jnp.take_along_axis(match_rect, xm_i, axis=1)
+        valid = valid & (match_at_corr <= 254.0)
 
     # Normalized coordinates: p in cam0, q in cam1 (roles by base_is_cam0).
     K0 = geom_pack["K0"]
@@ -358,7 +360,7 @@ def dense_stereo_device(
     )
     disp = disparity_postprocess(disp, cfg)
 
-    pts, valid = triangulate_dense(disp, geom_pack, base_img, match_img, cfg)
+    pts, valid = triangulate_dense(disp, geom_pack, base_rect, match_rect, cfg)
     n_tri = jnp.sum(valid)
 
     keep, zgap = outlier_removal(pts, valid, cfg)
@@ -407,8 +409,8 @@ def _stage_disparity(base_rect, match_rect, cfg: DenseStereoConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _stage_points(disp, geom_pack, base_img, match_img, cfg: DenseStereoConfig):
-    pts, valid = triangulate_dense(disp, geom_pack, base_img, match_img, cfg)
+def _stage_points(disp, geom_pack, base_rect, match_rect, cfg: DenseStereoConfig):
+    pts, valid = triangulate_dense(disp, geom_pack, base_rect, match_rect, cfg)
     keep, _ = outlier_removal(pts, valid, cfg)
     return pts, valid & keep
 
@@ -467,8 +469,8 @@ def _jit_postprocess(disp, cfg):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _jit_triangulate(disp, geom_pack, base_img, match_img, cfg):
-    return triangulate_dense(disp, geom_pack, base_img, match_img, cfg)
+def _jit_triangulate(disp, geom_pack, base_rect, match_rect, cfg):
+    return triangulate_dense(disp, geom_pack, base_rect, match_rect, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -502,7 +504,7 @@ class DenseStereoPipeline:
         agg = _jit_aggregate(cost, cfg.p1, cfg.p2, cfg.directions, _pallas_ok(cfg))
         disp = _jit_wta(agg, cfg.min_disp, cfg.uniqueness_ratio, cfg.lr_max_diff)
         disp = _jit_postprocess(disp, cfg)
-        pts, valid0 = _jit_triangulate(disp, geom_pack, base_img, match_img, cfg)
+        pts, valid0 = _jit_triangulate(disp, geom_pack, base_rect, match_rect, cfg)
         valid = _jit_outlier(pts, valid0, cfg)
         plane, ok, valid = _stage_plane(pts, valid, cfg)
         return DenseFrameResult(
