@@ -22,9 +22,34 @@ def cli():
 
 
 def _load_pipeline(outdir):
-    from wass_tpu.cli.pipeline import SequencePipeline
+    """Build the pipeline, loading any `{prepare,matcher,stereo}_config.txt`
+    found in the sequence dir (the reference loads its config file at every
+    stage startup, wass_stereo.cpp:1836-1856 / wass_match.cpp:148-169)."""
+    from wass_tpu.cli.pipeline import SequenceConfig, SequencePipeline
+    from wass_tpu.cli.options import (
+        flow_config_from_registry,
+        match_config_from_registry,
+        prepare_config_from_registry,
+        register_all,
+        stereo_config_from_registry,
+    )
+    from wass_tpu.config import registry
 
-    return SequencePipeline(outdir)
+    register_all()
+    out = Path(outdir)
+    for stage in ("prepare", "matcher", "stereo"):
+        reg = registry(stage)
+        reg.reset()  # don't leak values across sequences in one process
+        cfgfile = out / f"{stage}_config.txt"
+        if cfgfile.exists():
+            reg.load_file(cfgfile)
+    cfg = SequenceConfig(
+        prepare=prepare_config_from_registry(),
+        match=match_config_from_registry(),
+        stereo=stereo_config_from_registry(),
+        flow=flow_config_from_registry(),
+    )
+    return SequencePipeline(outdir, cfg)
 
 
 def _read_gray(path):

@@ -97,6 +97,17 @@ def register_all() -> None:
     s.register(bool, "PLANE_USE_CENTRAL_THIRD_ONLY", False, "use only the central third of the image to estimate the mean sea plane")
     s.register(float, "PLANE_REFINEMENT_MAX_DISTANCE", 70.0, "max point distance for plane refinement")
 
+    # ---- optical-flow path (wass_stereo.cpp:78-83; the reference gates
+    # this behind the WASS_ENABLE_OPTFLOW compile-time define, off by
+    # default — here it is a runtime option, also off by default) -----------
+    s.register(bool, "ENABLE_OPTICAL_FLOW", False, "Enable the optical-flow reconstruction path (mesh_full_flow.ply)")
+    s.register(int, "FLOW_REFINEMENT_FULLRES_ITERATIONS", 200, "Number of iterations for flow refinement")
+    s.register(float, "FLOW_REFINEMENT_COLOR_CONSISTENCY_FACTOR", 100, "Color consistency factor for both the low-res and high-res flow refinement")
+    s.register(float, "FLOW_REFINEMENT_LOWRES_SMOOTHNESS_FACTOR", 90, "Smoothness factor for the low-res flow refinement")
+    s.register(float, "FLOW_REFINEMENT_FULLRES_SMOOTHNESS_FACTOR", 300, "Smoothness factor for the full-res flow refinement")
+    s.register(int, "FLOW_OPENING_DILATE", 1, "Dilate steps in flow mask")
+    s.register(int, "FLOW_OPENING_ERODE", 1, "Erode steps in flow mask")
+
 
 def stereo_config_from_registry():
     """Build a DenseStereoConfig from the registry's effective values."""
@@ -129,6 +140,24 @@ def stereo_config_from_registry():
         plane_weight_by_distance=g("PLANE_WEIGHT_PROPORTIONAL_TO_DISTANCE"),
         min_triangulated=g("MIN_TRIANGULATED_POINTS"),
         random_seed=max(g("RANDOM_SEED"), 0),
+    )
+
+
+def flow_config_from_registry():
+    """Build a FlowConfig from the registry (None when disabled)."""
+    from wass_tpu.stereo.flow import FlowConfig
+
+    register_all()
+    g = stereo_cfg.get
+    if not g("ENABLE_OPTICAL_FLOW"):
+        return None
+    return FlowConfig(
+        fullres_iterations=g("FLOW_REFINEMENT_FULLRES_ITERATIONS"),
+        color_consistency=g("FLOW_REFINEMENT_COLOR_CONSISTENCY_FACTOR"),
+        lowres_smoothness=g("FLOW_REFINEMENT_LOWRES_SMOOTHNESS_FACTOR"),
+        fullres_smoothness=g("FLOW_REFINEMENT_FULLRES_SMOOTHNESS_FACTOR"),
+        opening_dilate=g("FLOW_OPENING_DILATE"),
+        opening_erode=g("FLOW_OPENING_ERODE"),
     )
 
 

@@ -42,6 +42,9 @@ class SequenceConfig:
     stereo: DenseStereoConfig = dataclasses.field(default_factory=DenseStereoConfig)
     match_subset: int = 50  # wasscli.py:259
     seed: int = 0
+    # Optical-flow reconstruction path (reference: WASS_ENABLE_OPTFLOW
+    # compile-time option, off by default).  Set to a FlowConfig to enable.
+    flow: Optional[object] = None
 
 
 class SequencePipeline:
@@ -153,6 +156,27 @@ class SequencePipeline:
             P1 = K1 @ np.hstack([geom.R, geom.T.reshape(3, 1)])
             wd.save_projection_matrices(P0, P1)
             wd.save_camera_poses(np.eye(3), np.zeros(3), geom.R, geom.T)
+
+            # Optional optical-flow reconstruction (refine_flow,
+            # wass_stereo.cpp:1985-1990): a second, flow-based point cloud
+            # saved next to the stereo mesh, plus the flow debug renders.
+            if self.cfg.flow is not None:
+                from wass_tpu.stereo.flow import flow_reconstruct_frame
+                from wass_tpu.io.ply import save_ply_points
+                from wass_tpu.utils.render import render_flow
+
+                fr = flow_reconstruct_frame(
+                    res.disparity, b_img, m_img, geom, self.cfg.flow,
+                    min_disp=float(self.cfg.stereo.min_disp),
+                    valid_rect=res.valid,
+                )
+                render_flow(wd.path / "flow_coarse.png", fr.coarse_flow, 200.0)
+                render_flow(wd.path / "flow.png", fr.flow, 200.0)
+                fpts = fr.points[fr.valid]
+                fcol = np.repeat(
+                    np.asarray(b_img)[fr.valid][:, None], 3, axis=1
+                ).astype(np.uint8)
+                save_ply_points(wd.path / "mesh_full_flow.ply", fpts, fcol)
 
         # Aggregate planes (wasscli.py:320-343).
         out = self.outdir / "output"

@@ -98,7 +98,13 @@ class ConfigRegistry:
             key, _, val = line.partition("=")
             key = key.strip()
             if key in self._options:
-                self.set(key, val)
+                try:
+                    self.set(key, val)
+                except ValueError as e:
+                    raise ValueError(
+                        f"{self.name} config line {lineno}: bad value for "
+                        f"{key} ({self._options[key].type.__name__}): {val.strip()!r}"
+                    ) from e
             # Unknown keys are ignored (the reference's incfg warns only).
 
     def load_file(self, path) -> None:

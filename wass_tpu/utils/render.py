@@ -78,3 +78,50 @@ def render_coverage(path, img: np.ndarray, disp: np.ndarray, roi=None) -> None:
         vis[y : y + h, [x, min(x + w - 1, vis.shape[1] - 1)], 0] = 255
         vis[[y, min(y + h - 1, vis.shape[0] - 1)], x : x + w, 0] = 255
     _save(path, vis)
+
+
+def _flow_color_wheel() -> np.ndarray:
+    """Middlebury flow color wheel (drawOpticalFlow,
+    wass_stereo.cpp:1398-1466): 55 hue steps with perceptually-chosen
+    transition lengths."""
+    RY, YG, GC, CB, BM, MR = 15, 6, 4, 11, 13, 6
+    cols = []
+    for i in range(RY):
+        cols.append((255, 255 * i // RY, 0))
+    for i in range(YG):
+        cols.append((255 - 255 * i // YG, 255, 0))
+    for i in range(GC):
+        cols.append((0, 255, 255 * i // GC))
+    for i in range(CB):
+        cols.append((0, 255 - 255 * i // CB, 255))
+    for i in range(BM):
+        cols.append((255 * i // BM, 0, 255))
+    for i in range(MR):
+        cols.append((255, 0, 255 - 255 * i // MR))
+    return np.array(cols, np.float32)
+
+
+def render_flow(path, flow: np.ndarray, max_motion: float = -1.0) -> None:
+    """Flow-field visualization with the Middlebury color coding
+    (saturation encodes magnitude, hue encodes direction)."""
+    fx = flow[..., 0]
+    fy = flow[..., 1]
+    ok = np.isfinite(fx) & np.isfinite(fy) & (np.abs(fx) < 1e9) & (np.abs(fy) < 1e9)
+    rad = np.sqrt(fx * fx + fy * fy)
+    maxrad = max_motion if max_motion > 0 else max(1.0, np.nanmax(np.where(ok, rad, 0)))
+    fx = np.where(ok, fx / maxrad, 0)
+    fy = np.where(ok, fy / maxrad, 0)
+    rad = np.sqrt(fx * fx + fy * fy)
+
+    wheel = _flow_color_wheel()
+    ncols = len(wheel)
+    a = np.arctan2(-fy, -fx) / np.pi
+    fk = (a + 1.0) / 2.0 * (ncols - 1)
+    k0 = np.floor(fk).astype(int) % ncols
+    k1 = (k0 + 1) % ncols
+    f = (fk - np.floor(fk))[..., None]
+    col = (wheel[k0] * (1 - f) + wheel[k1] * f) / 255.0
+    small = rad <= 1
+    col = np.where(small[..., None], 1 - rad[..., None] * (1 - col), col * 0.75)
+    img = np.where(ok[..., None], col * 255.0, 0.0)
+    _save(path, img)
