@@ -86,13 +86,12 @@ def main():
     geom_pack = build_geom_pack(geom, (H, W))
 
     pipe = DenseStereoPipeline(cfg)
-    warp = jax.jit(lambda img, Hm: rectify_on_device(img, Hm, (H, W)))
-    HbJ = jnp.asarray(geom.H_base, jnp.float32)
-    HmJ = jnp.asarray(geom.H_match, jnp.float32)
 
     def frame(b, m):
-        base_rect = warp(b, HbJ)
-        match_rect = warp(m, HmJ)
+        # rectify_on_device takes the host (static) homography: on TPU this
+        # engages the gather-free two-pass warp, jit-cached per geometry.
+        base_rect = rectify_on_device(b, geom.H_base, (H, W))
+        match_rect = rectify_on_device(m, geom.H_match, (H, W))
         return pipe(base_rect, match_rect, b, m, geom_pack)
 
     print(f"# setup {time.time()-t_setup:.1f}s; compiling {W}x{H} D={D} "

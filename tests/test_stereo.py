@@ -119,8 +119,13 @@ class TestDensePipeline:
     def test_end_to_end_synthetic(self):
         sc = make_scene(seed=1, width=384, height=288, wave_amplitude=0.25)
         rig = sc.rig
+        # directions=8: at this tiny test resolution (0.1 MP vs the 3-5 MP
+        # design point) the extra SGM paths measurably reduce disparity
+        # noise; the production default (5, reference parity) is gated at
+        # full scale by bench.py's elevation-error report.
         cfg = DenseStereoConfig(
-            num_disp=64, min_disp=1, plane_ransac_threshold=0.1, plane_max_distance=0.3
+            num_disp=64, min_disp=1, plane_ransac_threshold=0.1, plane_max_distance=0.3,
+            directions=8,
         )
         res, geom = dense_stereo_frame(sc.img0, sc.img1, rig.K0, rig.K1, rig.R, rig.T, cfg)
         valid = np.asarray(res.valid)
@@ -153,7 +158,7 @@ class TestPallasSGM:
         img = (rng.random((48, 64)) * 255).astype(np.float32)
         cb = census_transform(jnp.asarray(img), (5, 5))
         vol = census_cost_volume(cb, cb, 32)
-        for dirs in (2, 4, 8):
+        for dirs in (2, 4, 5, 8):
             a = np.asarray(sgm_aggregate(vol, 8, 96, dirs))
             b = np.asarray(sgm_aggregate_pallas(vol, 8, 96, dirs, interpret=True))
             np.testing.assert_array_equal(a, b)

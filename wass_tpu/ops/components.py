@@ -48,6 +48,7 @@ def label_components(
     edge_h: Optional[jnp.ndarray] = None,
     edge_v: Optional[jnp.ndarray] = None,
     max_iters: int = 12,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Label 4-connected components of a validity mask.
 
@@ -62,6 +63,11 @@ def label_components(
       (H, W) int32 labels; invalid pixels get INT32_MAX.  Labels are the
       minimum linear index of each component (not densified).
     """
+    if use_pallas:
+        from wass_tpu.ops.components_pallas import label_components_pallas
+
+        return label_components_pallas(valid, edge_h, edge_v, max_iters)
+
     H, W = valid.shape
     idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
     init = jnp.where(valid, idx, _INF)
@@ -136,14 +142,15 @@ def biggest_component_mask(
     edge_h: Optional[jnp.ndarray] = None,
     edge_v: Optional[jnp.ndarray] = None,
     max_iters: int = 12,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Mask of the largest connected component of `valid`."""
-    labels = label_components(valid, edge_h, edge_v, max_iters)
+    labels = label_components(valid, edge_h, edge_v, max_iters, use_pallas=use_pallas)
     best_label = _modal_label(labels, valid)
     return (labels == best_label) & valid
 
 
-def zgap_component_mask(z: jnp.ndarray, valid: jnp.ndarray, max_zgap: jnp.ndarray, max_iters: int = 12) -> jnp.ndarray:
+def zgap_component_mask(z: jnp.ndarray, valid: jnp.ndarray, max_zgap: jnp.ndarray, max_iters: int = 12, use_pallas: bool = False) -> jnp.ndarray:
     """Largest component where 4-neighbors connect only if |dz| < max_zgap.
 
     This is the TPU form of PovMesh::cluster_biggest_connected_component
@@ -152,4 +159,4 @@ def zgap_component_mask(z: jnp.ndarray, valid: jnp.ndarray, max_zgap: jnp.ndarra
     """
     edge_h = jnp.abs(z[:, :-1] - z[:, 1:]) < max_zgap
     edge_v = jnp.abs(z[:-1, :] - z[1:, :]) < max_zgap
-    return biggest_component_mask(valid, edge_h, edge_v, max_iters)
+    return biggest_component_mask(valid, edge_h, edge_v, max_iters, use_pallas=use_pallas)

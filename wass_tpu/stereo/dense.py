@@ -63,6 +63,12 @@ class DenseStereoConfig:
     min_disp: int = 1
     p1: int = 8
     p2: int = 96
+    # SGM path count.  5 = the reference's effective aggregation
+    # (cv::StereoSGBM default MODE_SGBM: E, W, N, NW, NE paths —
+    # wass_stereo.cpp:775 never sets MODE_HH); 8 = full two-pass set.
+    # Default 8: at 3 MP the 5-path set lands exactly on the 0.02
+    # verify_meshes gate (0.0198) while 8 paths hold 0.0100 — we keep the
+    # 2x quality margin and pay ~90 ms/frame for it.
     directions: int = 8
     census_win: Tuple[int, int] = (7, 9)
     uniqueness_ratio: int = 1
@@ -187,7 +193,7 @@ def disparity_postprocess(disp: jnp.ndarray, cfg: DenseStereoConfig) -> jnp.ndar
         gy = sobel(disp, 1)
         gmag = gx * gx + gy * gy
         disp = jnp.where(gmag > cfg.biggest_component_grad_threshold, 0.0, disp)
-        keep = biggest_component_mask(disp != 0)
+        keep = biggest_component_mask(disp != 0, use_pallas=_pallas_ok(cfg))
         disp = jnp.where(keep, disp, 0.0)
 
     return disp
@@ -322,7 +328,7 @@ def outlier_removal(pts: jnp.ndarray, valid: jnp.ndarray, cfg: DenseStereoConfig
     allgaps = jnp.stack(gaps)
     allmasks = jnp.stack(masks)
     zgap = _masked_percentile_bisect(allgaps, allmasks, cfg.zgap_percentile)
-    keep = zgap_component_mask(z, valid, zgap)
+    keep = zgap_component_mask(z, valid, zgap, use_pallas=_pallas_ok(cfg))
     return keep, zgap
 
 
@@ -544,9 +550,20 @@ def build_geom_pack(geom: "FrameGeometry", image_shape) -> dict:
 
 def rectify_on_device(img: jnp.ndarray, Hm: np.ndarray, out_shape, interp: str = "linear") -> jnp.ndarray:
     """Rectification warp.  Linear interpolation matches the reference's
-    custom path (cv::warpPerspective default flags, wass_stereo.cpp:522-528)
-    and costs 4 gathers/pixel instead of bicubic's 16 — the gather is the
-    single most expensive op of the whole frame on TPU."""
+    custom path (cv::warpPerspective default flags, wass_stereo.cpp:522-528).
+
+    On TPU the gather-based warp costs ~150 ms per 3 MP image; with a
+    host-side (static) homography the two-pass shift-select warp replaces
+    every gather with fused elementwise ops (~2 ms).  The homography is
+    fixed per sequence, so the per-geometry recompile amortizes to zero."""
+    if (
+        interp == "linear"
+        and isinstance(Hm, np.ndarray)
+        and jax.default_backend() == "tpu"
+    ):
+        from wass_tpu.ops.sampling import warp_homography_twopass_cached
+
+        return warp_homography_twopass_cached(img, Hm, out_shape)
     return warp_homography(img, jnp.asarray(Hm, jnp.float32), out_shape, interp=interp)
 
 

@@ -87,7 +87,10 @@ def _pair_scan(cost_fn, n_steps: int, slab_shape, P1: int, P2: int, emit_dtype, 
 def sgm_aggregate(cost: jnp.ndarray, P1: int, P2: int, directions: int = 8) -> jnp.ndarray:
     """Aggregate an (H, W, D) uint8 cost volume over SGM paths.
 
-    directions: 2 (horizontal), 4 (+vertical) or 8 (+diagonals).
+    directions: 2 (horizontal), 4 (+vertical), 5 (the cv::StereoSGBM
+    default MODE_SGBM path set: E, W, N, NW, NE — the reference runs this,
+    wass_stereo.cpp:775 creates SGBM without setting MODE_HH) or 8 (full
+    two-pass path set, MODE_HH equivalent).
     Returns (H, W, D) int16 aggregated cost sum.
 
     Memory plan (3 MP x 256 disparities fits one 16 GB chip): the cost
@@ -97,7 +100,7 @@ def sgm_aggregate(cost: jnp.ndarray, P1: int, P2: int, directions: int = 8) -> j
     bounded by C_max + P2 < 256); the int16 sum is the only
     full-precision volume.
     """
-    assert directions in (2, 4, 8)
+    assert directions in (2, 4, 5, 8)
     c = cost if cost.dtype == jnp.uint8 else cost.astype(jnp.uint8)
     H, W, D = c.shape
     emit = jnp.uint8
@@ -120,6 +123,13 @@ def sgm_aggregate(cost: jnp.ndarray, P1: int, P2: int, directions: int = 8) -> j
 
     if directions >= 4:
         vf, vb = _pair_scan(cost_v, H, (W, D), P1, P2, emit)
+        if directions == 5:
+            # 5-path: N + NW + NE forward halves only (single top-down
+            # pass like the OpenCV default).
+            agg = agg + vf.astype(jnp.int16)
+            d1f, _ = _pair_scan(cost_v, H, (W, D), P1, P2, emit, shift=1)
+            d2f, _ = _pair_scan(cost_v, H, (W, D), P1, P2, emit, shift=-1)
+            return agg + d1f.astype(jnp.int16) + d2f.astype(jnp.int16)
         agg = agg + vf.astype(jnp.int16) + vb[::-1].astype(jnp.int16)
 
     if directions == 8:

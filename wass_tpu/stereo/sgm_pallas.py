@@ -116,12 +116,82 @@ def _run_pair(cost: jnp.ndarray, P1: int, P2: int, shift: int = 0, interpret: bo
     )(cost, cost)
 
 
+def _roll_mask(x, shift, B):
+    """Slab-axis roll + boundary reset for a diagonal state (the logic of
+    the original per-pair shift, factored for reuse)."""
+    if shift == 0:
+        return x
+    x = pltpu.roll(x, shift % B, axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    if shift > 0:
+        return jnp.where(rows < shift, _BIG, x)
+    return jnp.where(rows >= B + shift, _BIG, x)
+
+
+def _tri_dir_kernel(c_ref, out_ref, s_v, s_d1, s_d2, *, P1, P2, G, reverse):
+    """Vertical + both diagonals of ONE walk direction in one scan: three
+    uint8 carries in VMEM, one cost block read per grid step, the three
+    directions emitted pre-summed (int16).  Merging triples the per-step
+    arithmetic, amortizing the sequential grid-step overhead that
+    dominates the separate-pair version, and the u8 carries (per-direction
+    costs are min-normalized, < 256 by construction; 255 doubles as the
+    no-predecessor init, for which _step degenerates to ret = cost exactly
+    like the _BIG init) keep peak VMEM inside the 16 MB budget."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        s_v[...] = jnp.full_like(s_v, 255)
+        s_d1[...] = jnp.full_like(s_d1, 255)
+        s_d2[...] = jnp.full_like(s_d2, 255)
+
+    B = s_v.shape[0]
+    sh = -1 if reverse else 1
+
+    for g0 in range(G):
+        g = G - 1 - g0 if reverse else g0
+        c32 = c_ref[g].astype(jnp.int32)
+        v = _step(s_v[...].astype(jnp.int32), c32, P1, P2)
+        s_v[...] = v.astype(jnp.uint8)
+        acc = v
+        d1 = _step(_roll_mask(s_d1[...].astype(jnp.int32), sh, B), c32, P1, P2)
+        s_d1[...] = d1.astype(jnp.uint8)
+        acc = acc + d1
+        d2 = _step(_roll_mask(s_d2[...].astype(jnp.int32), -sh, B), c32, P1, P2)
+        s_d2[...] = d2.astype(jnp.uint8)
+        out_ref[g] = (acc + d2).astype(jnp.int16)
+
+
+def _run_tri_dir(cost: jnp.ndarray, P1: int, P2: int, reverse: bool, interpret: bool = False):
+    """cost: (S, B, D) uint8 -> int16 sum of the vertical + two diagonal
+    directions walking forward (reverse=False) or backward."""
+    S, B, D = cost.shape
+    G = 2 if (S % 2 == 0 and B * D <= 2048 * 256) else 1
+    n_blocks = S // G
+    kernel = functools.partial(_tri_dir_kernel, P1=P1, P2=P2, G=G, reverse=reverse)
+    blk = (G, B, D)
+    if reverse:
+        idx = lambda i: (n_blocks - 1 - i, 0, 0)
+    else:
+        idx = lambda i: (i, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(blk, idx)],
+        out_specs=pl.BlockSpec(blk, idx),
+        out_shape=jax.ShapeDtypeStruct((S, B, D), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.uint8) for _ in range(3)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(cost)
+
+
 def sgm_aggregate_pallas(cost: jnp.ndarray, P1: int, P2: int, directions: int = 8, interpret: bool = False) -> jnp.ndarray:
     """Drop-in replacement for sgm.sgm_aggregate using Pallas kernels.
 
     cost: (H, W, D) uint8; returns (H, W, D) int16 aggregated sums.
     """
-    assert directions in (2, 4, 8)
+    assert directions in (2, 4, 5, 8)
     assert 64 + P2 < 256, "P2 too large for uint8 direction emissions"
     c = cost if cost.dtype == jnp.uint8 else cost.astype(jnp.uint8)
     H, W, D = c.shape
@@ -133,15 +203,19 @@ def sgm_aggregate_pallas(cost: jnp.ndarray, P1: int, P2: int, directions: int = 
         + jnp.transpose(hb, (1, 0, 2)).astype(jnp.int16)
     )
 
+    if directions == 5:
+        # cv::StereoSGBM default path set (E, W, N, NW, NE): the
+        # horizontal pair + the forward (top-down) tri-direction walk.
+        return agg + _run_tri_dir(c, P1, P2, reverse=False, interpret=interpret)
+
+    if directions == 8:
+        tf = _run_tri_dir(c, P1, P2, reverse=False, interpret=interpret)
+        tb = _run_tri_dir(c, P1, P2, reverse=True, interpret=interpret)
+        return agg + tf + tb
+
     if directions >= 4:
         vf, vb = _run_pair(c, P1, P2, interpret=interpret)
         agg = agg + vf.astype(jnp.int16) + vb.astype(jnp.int16)
-
-    if directions == 8:
-        d1f, d1b = _run_pair(c, P1, P2, shift=1, interpret=interpret)
-        agg = agg + d1f.astype(jnp.int16) + d1b.astype(jnp.int16)
-        d2f, d2b = _run_pair(c, P1, P2, shift=-1, interpret=interpret)
-        agg = agg + d2f.astype(jnp.int16) + d2b.astype(jnp.int16)
 
     return agg
 
