@@ -149,7 +149,46 @@ class TestDensePipeline:
         assert trimmed.mean() < 0.04
 
 
+class TestBurnedGate:
+    def test_burned_match_region_invalidates(self):
+        """DISCARD_BURNED_AREAS (wass_stereo.cpp:1069-1093): a saturated
+        blob in the match image must invalidate base pixels whose
+        correspondence lands inside it — exercised through the
+        cond + shift-select path (no row gathers)."""
+        import dataclasses
+        from wass_tpu.stereo.dense import triangulate_dense, build_geom_pack, prepare_frame_geometry
+
+        sc = make_scene(seed=5, width=192, height=144, wave_amplitude=0.2)
+        rig = sc.rig
+        cfg = DenseStereoConfig(num_disp=32, min_disp=1, directions=4)
+        res0, geom = dense_stereo_frame(sc.img0, sc.img1, rig.K0, rig.K1, rig.R, rig.T, cfg)
+        n0 = int(res0.n_points)
+        assert n0 > 1000
+        # Saturate a blob in the match image and rerun.
+        m_img = (sc.img1 if geom.base_is_cam0 else sc.img0).copy()
+        m_img[60:90, 60:120] = 255.0
+        if geom.base_is_cam0:
+            res1, _ = dense_stereo_frame(sc.img0, m_img, rig.K0, rig.K1, rig.R, rig.T, cfg)
+        else:
+            res1, _ = dense_stereo_frame(m_img, sc.img1, rig.K0, rig.K1, rig.R, rig.T, cfg)
+        n1 = int(res1.n_points)
+        assert n1 < n0, (n0, n1)
+
+
 class TestPallasSGM:
+    def test_pallas_cost_volume_matches_xla(self, rng):
+        """The packed-int32 Pallas cost kernel must reproduce the XLA
+        chunked build exactly (interpret mode on CPU)."""
+        from wass_tpu.stereo.sgm_pallas import census_cost_volume_pallas
+
+        img0 = (rng.random((48, 64)) * 255).astype(np.float32)
+        img1 = (rng.random((48, 64)) * 255).astype(np.float32)
+        cb = census_transform(jnp.asarray(img0), (7, 9))
+        cm = census_transform(jnp.asarray(img1), (7, 9))
+        a = np.asarray(census_cost_volume(cb, cm, 32, 1))
+        b = np.asarray(census_cost_volume_pallas(cb, cm, 32, 1, interpret=True))
+        np.testing.assert_array_equal(a, b)
+
     def test_pallas_matches_scan(self, rng):
         """The Pallas aggregation must be bit-identical to the lax.scan
         implementation (interpret mode on CPU)."""

@@ -235,13 +235,26 @@ def triangulate_dense(
     # samples the *original* images at the unrectified coordinates; 2-D
     # gathers are the most expensive primitive on TPU, so we evaluate the
     # same criterion on the *rectified* images (linear warps of the
-    # originals: a >254 region stays >=254 in its interior) — the base test
-    # is elementwise and the match test is a 1-D row gather at x - d.
+    # originals: a >254 region stays >=254 in its interior).  The base test
+    # is elementwise; the match test (burned at column x - d) would be a
+    # row gather (~28 ms at 3 MP) — instead it is a shift-select over the
+    # disparity range on a uint8 mask, and the whole thing runs under a
+    # lax.cond so frames with no burned pixels (the common case) skip it.
     if cfg.discard_burned:
         valid = valid & (base_rect <= 254.0)
-        xm_i = jnp.clip(jnp.round(xm).astype(jnp.int32), 0, W - 1)
-        match_at_corr = jnp.take_along_axis(match_rect, xm_i, axis=1)
-        valid = valid & (match_at_corr <= 254.0)
+        bm = (match_rect > 254.0)
+
+        def burned_at_match(_):
+            di = jnp.round(disp).astype(jnp.int32)
+            acc = jnp.zeros_like(bm)
+            for k in range(cfg.min_disp, cfg.min_disp + cfg.num_disp):
+                acc = acc | ((di == k) & jnp.roll(bm, k, axis=1))
+            return acc
+
+        burned = jax.lax.cond(
+            jnp.any(bm), burned_at_match, lambda _: jnp.zeros_like(bm), None
+        )
+        valid = valid & ~burned
 
     # Normalized coordinates: p in cam0, q in cam1 (roles by base_is_cam0).
     K0 = geom_pack["K0"]
@@ -450,8 +463,12 @@ def _jit_census(img, win):
     return _census(img, win)
 
 
-@partial(jax.jit, static_argnames=("num_disp", "min_disp"))
-def _jit_cost(cb, cm, num_disp, min_disp):
+@partial(jax.jit, static_argnames=("num_disp", "min_disp", "pallas"))
+def _jit_cost(cb, cm, num_disp, min_disp, pallas=False):
+    if pallas and num_disp % 4 == 0 and cb.shape[0] % 8 == 0:
+        from wass_tpu.stereo.sgm_pallas import census_cost_volume_pallas
+
+        return census_cost_volume_pallas(cb, cm, num_disp, min_disp)
     return _costvol(cb, cm, num_disp, min_disp)
 
 
@@ -506,7 +523,7 @@ class DenseStereoPipeline:
             match_rect = resize(match_rect, (sh, sw), interp="cubic")
         cb = _jit_census(base_rect, cfg.census_win)
         cm = _jit_census(match_rect, cfg.census_win)
-        cost = _jit_cost(cb, cm, cfg.num_disp, cfg.min_disp)
+        cost = _jit_cost(cb, cm, cfg.num_disp, cfg.min_disp, _pallas_ok(cfg))
         agg = _jit_aggregate(cost, cfg.p1, cfg.p2, cfg.directions, _pallas_ok(cfg))
         disp = _jit_wta(agg, cfg.min_disp, cfg.uniqueness_ratio, cfg.lr_max_diff)
         disp = _jit_postprocess(disp, cfg)

@@ -220,25 +220,31 @@ def sgm_aggregate_pallas(cost: jnp.ndarray, P1: int, P2: int, directions: int = 
     return agg
 
 
-def _cost_kernel(cb_ref, cmp_ref, out_ref, *, num_disp, min_disp):
-    """Census cost for one row tile from a *padded* match census row:
-    cmp_ref holds cm padded on the left by (num_disp + min_disp) columns,
-    so every disparity's shifted view is a single static slice — one
-    slice + xor + popcount per d keeps the unrolled Mosaic program small.
-    The left-border invalid triangle (x - d < 0) is patched outside the
-    kernel with one fused select over the volume."""
-    cb = cb_ref[...]  # (rows, W, nw) uint32
-    cmp = cmp_ref[...]  # (rows, W + num_disp + min_disp, nw) uint32
-    rows, W, nw = cb.shape
+def _cost_kernel(refs_and_out, *, num_disp, min_disp, nw):
+    """Census cost for one row tile.  Inputs are *plane-separated* census
+    words — (rows, W) uint32 per word — so every xor/popcount runs at full
+    lane width (the packed (rows, W, nw) layout used only nw of 128
+    lanes).  Four disparities are packed per int32 output word (costs fit
+    8 bits), because Mosaic supports neither 8-bit minor-dim stores nor
+    cheap lane-column writes; the (D/4, rows, W) output block makes every
+    store a clean 2-D tile."""
+    cb = refs_and_out[:nw]
+    cm = refs_and_out[nw : 2 * nw]
+    out_ref = refs_and_out[2 * nw]
+    b = [r[...] for r in cb]
+    m = [r[...] for r in cm]
+    rows, W = b[0].shape
     P = num_disp + min_disp
 
-    for d_i in range(num_disp):
-        d = min_disp + d_i
-        shifted = cmp[:, P - d : P - d + W]
-        x = jax.lax.population_count(cb ^ shifted)
-        # Mosaic has no unsigned reductions: sum in int32.
-        c32 = jnp.sum(x.astype(jnp.int32), axis=-1)
-        out_ref[:, :, d_i] = c32.astype(jnp.uint8)
+    for jw in range(num_disp // 4):
+        word = None
+        for k in range(4):
+            d = min_disp + jw * 4 + k
+            c = jax.lax.population_count(b[0] ^ m[0][:, P - d : P - d + W])
+            for w in range(1, nw):
+                c = c + jax.lax.population_count(b[w] ^ m[w][:, P - d : P - d + W])
+            word = c if word is None else word | (c << (8 * k))
+        out_ref[jw, :, :] = word
 
 
 def census_cost_volume_pallas(
@@ -250,27 +256,37 @@ def census_cost_volume_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Pallas census cost volume: one grid step per row tile with the whole
-    row pair in VMEM — replaces the lax.map-over-D build (256 sequential
-    XLA steps at 3 MP) with ~H/8 pipelined tiles."""
+    row pair in VMEM.  The census planes are read once per tile (the XLA
+    build re-streams them once per disparity — ~30 GB at 3 MP/256 d)."""
     H, W, nw = census_base.shape
     assert H % rows_per_tile == 0, "pad image height to the tile size"
+    assert num_disp % 4 == 0
     max_cost = min(32 * nw, 255)
     P = num_disp + min_disp
-    cmp = jnp.pad(census_match, ((0, 0), (P, 0), (0, 0)))
-    kernel = functools.partial(_cost_kernel, num_disp=num_disp, min_disp=min_disp)
+    planes_b = [census_base[:, :, w] for w in range(nw)]
+    planes_m = [jnp.pad(census_match[:, :, w], ((0, 0), (P, 0))) for w in range(nw)]
+    kernel = functools.partial(
+        _cost_kernel_entry, num_disp=num_disp, min_disp=min_disp, nw=nw
+    )
     grid = (H // rows_per_tile,)
-    vol = pl.pallas_call(
+    DW = num_disp // 4
+    packed = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((rows_per_tile, W, nw), lambda i: (i, 0, 0)),
-            pl.BlockSpec((rows_per_tile, W + P, nw), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((rows_per_tile, W, num_disp), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((H, W, num_disp), jnp.uint8),
+        in_specs=[pl.BlockSpec((rows_per_tile, W), lambda i: (i, 0)) for _ in range(nw)]
+        + [pl.BlockSpec((rows_per_tile, W + P), lambda i: (i, 0)) for _ in range(nw)],
+        out_specs=pl.BlockSpec((DW, rows_per_tile, W), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((DW, H, W), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(census_base, cmp)
+    )(*planes_b, *planes_m)
+    u8 = jax.lax.bitcast_convert_type(packed, jnp.uint8)  # (DW, H, W, 4)
+    vol = jnp.transpose(u8, (1, 2, 0, 3)).reshape(H, W, num_disp)
     # Patch the invalid left-border triangle (match x-coordinate < 0).
     xx = jnp.arange(W, dtype=jnp.int32)[None, :, None]
     dd = (jnp.arange(num_disp, dtype=jnp.int32) + min_disp)[None, None, :]
     return jnp.where(xx - dd >= 0, vol, jnp.uint8(max_cost))
+
+
+def _cost_kernel_entry(*refs, num_disp, min_disp, nw):
+    return _cost_kernel(refs, num_disp=num_disp, min_disp=min_disp, nw=nw)
