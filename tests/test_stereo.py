@@ -201,3 +201,22 @@ class TestPallasSGM:
             a = np.asarray(sgm_aggregate(vol, 8, 96, dirs))
             b = np.asarray(sgm_aggregate_pallas(vol, 8, 96, dirs, interpret=True))
             np.testing.assert_array_equal(a, b)
+
+
+class TestBurnedMaskWrap:
+    def test_right_edge_saturation_does_not_wrap(self):
+        """ADVICE r1: jnp.roll wraps, so right-edge saturation in the match
+        image invalidated left-edge base pixels where x - d < 0.  The
+        column-iota mask must stop that; in-range hits must still fire."""
+        from wass_tpu.stereo.dense import burned_match_mask
+
+        H, W = 8, 64
+        bm = np.zeros((H, W), bool)
+        bm[:, -4:] = True  # saturated at the right edge of the match image
+        disp = np.full((H, W), 6.0, np.float32)
+        out = np.asarray(burned_match_mask(jnp.asarray(disp), jnp.asarray(bm), 1, 16))
+        # Reference: burned iff x - 6 lands in [W-4, W).
+        xx = np.arange(W)
+        ref = (xx - 6 >= W - 4) & (xx - 6 < W)
+        np.testing.assert_array_equal(out, np.broadcast_to(ref, (H, W)))
+        assert not out[:, :6].any()  # the wrap region stays clean

@@ -155,11 +155,20 @@ def warp_homography_twopass(
     Hs, Ws = img.shape
     Ho, Wo = out_shape
 
+    def _safe_den(den, lib):
+        """Pass-1 column inversion divides by (u*g - a); if the line
+        u = a/g crosses the image width the denominator vanishes there.
+        Clamp its magnitude: the affected columns map outside the image
+        after the [-1, Hs] clip and are removed by the validity gate."""
+        tiny = 1e-9
+        sgn = lib.where(den >= 0, 1.0, -1.0)
+        return lib.where(lib.abs(den) < tiny, sgn * tiny, den)
+
     # ---- host: static shift ranges from a stride-4 grid (+2 margin) -----
     ug = np.arange(0, Ws, 4, dtype=np.float64)
     yg = np.arange(0, Ho, 4, dtype=np.float64)
     UU, YY = np.meshgrid(ug, yg)
-    xs = (b * YY + c - UU * (h * YY + i_)) / (UU * g - a)
+    xs = (b * YY + c - UU * (h * YY + i_)) / _safe_den(UU * g - a, np)
     syt_h = (d * xs + e * YY + f_) / (g * xs + h * YY + i_)
     syt_h = np.clip(syt_h, -1.0, Hs)
     k1min = int(np.floor(syt_h - YY).min()) - 2
@@ -176,7 +185,7 @@ def warp_homography_twopass(
     dt = img.dtype
     uu = jnp.arange(Ws, dtype=dt)[None, :]
     yy = jnp.arange(Ho, dtype=dt)[:, None]
-    xs_d = (b * yy + c - uu * (h * yy + i_)) / (uu * g - a)
+    xs_d = (b * yy + c - uu * (h * yy + i_)) / _safe_den(uu * g - a, jnp)
     syt = (d * xs_d + e * yy + f_) / (g * xs_d + h * yy + i_)
     syt = jnp.clip(syt, -1.0, float(Hs))
     p0 = jnp.floor(syt)

@@ -199,6 +199,30 @@ def disparity_postprocess(disp: jnp.ndarray, cfg: DenseStereoConfig) -> jnp.ndar
     return disp
 
 
+def burned_match_mask(disp: jnp.ndarray, bm: jnp.ndarray, min_disp: int, num_disp: int) -> jnp.ndarray:
+    """burned[y, x] = bm[y, x - round(disp[y, x])]: is the match pixel a
+    base pixel samples saturated?  (DISCARD_BURNED_AREAS semantics on the
+    rectified match image, wass_stereo.cpp:1069-1093.)
+
+    Evaluated without 2-D gathers as a masked-select over rolled copies of
+    bm; the roll loop is a lax.fori_loop (a Python unroll at D=640 bloats
+    the traced graph and the remote compile), and the roll's wraparound is
+    masked with a column iota so a saturated region at the right image
+    edge never invalidates pixels near the left edge."""
+    W = bm.shape[1]
+    di = jnp.round(disp).astype(jnp.int32)
+    xx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    bm8 = bm.astype(jnp.uint8)
+
+    def body(k, acc):
+        hit = (di == k) & (xx >= k) & (jnp.roll(bm8, k, axis=1) != 0)
+        return acc | hit
+
+    return jax.lax.fori_loop(
+        min_disp, min_disp + num_disp, body, jnp.zeros_like(bm)
+    )
+
+
 def triangulate_dense(
     disp: jnp.ndarray,
     geom_pack: dict,
@@ -243,16 +267,11 @@ def triangulate_dense(
     if cfg.discard_burned:
         valid = valid & (base_rect <= 254.0)
         bm = (match_rect > 254.0)
-
-        def burned_at_match(_):
-            di = jnp.round(disp).astype(jnp.int32)
-            acc = jnp.zeros_like(bm)
-            for k in range(cfg.min_disp, cfg.min_disp + cfg.num_disp):
-                acc = acc | ((di == k) & jnp.roll(bm, k, axis=1))
-            return acc
-
         burned = jax.lax.cond(
-            jnp.any(bm), burned_at_match, lambda _: jnp.zeros_like(bm), None
+            jnp.any(bm),
+            lambda _: burned_match_mask(disp, bm, cfg.min_disp, cfg.num_disp),
+            lambda _: jnp.zeros_like(bm),
+            None,
         )
         valid = valid & ~burned
 
@@ -573,10 +592,13 @@ def rectify_on_device(img: jnp.ndarray, Hm: np.ndarray, out_shape, interp: str =
     host-side (static) homography the two-pass shift-select warp replaces
     every gather with fused elementwise ops (~2 ms).  The homography is
     fixed per sequence, so the per-geometry recompile amortizes to zero."""
+    import os
+
     if (
         interp == "linear"
         and isinstance(Hm, np.ndarray)
         and jax.default_backend() == "tpu"
+        and os.environ.get("WASS_GATHER_WARP", "0") != "1"  # escape hatch
     ):
         from wass_tpu.ops.sampling import warp_homography_twopass_cached
 

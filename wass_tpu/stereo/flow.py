@@ -77,8 +77,20 @@ class FlowConfig:
 # --------------------------------------------------------------------------
 
 
-def _shift2(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    return jnp.roll(x, (dy, dx), axis=(0, 1))
+def _shift2(x: jnp.ndarray, dy: int, dx: int, fill: float) -> jnp.ndarray:
+    """Roll with the wrapped rows/columns reset to `fill`, so morphology
+    never leaks across image borders (cv::dilate/erode replicate the
+    border; fill = the op's neutral element gives the same result)."""
+    x = jnp.roll(x, (dy, dx), axis=(0, 1))
+    if dy > 0:
+        x = x.at[:dy, :].set(fill)
+    elif dy < 0:
+        x = x.at[dy:, :].set(fill)
+    if dx > 0:
+        x = x.at[:, :dx].set(fill)
+    elif dx < 0:
+        x = x.at[:, dx:].set(fill)
+    return x
 
 
 def binary_dilate(mask: jnp.ndarray, steps: int) -> jnp.ndarray:
@@ -86,7 +98,7 @@ def binary_dilate(mask: jnp.ndarray, steps: int) -> jnp.ndarray:
         acc = mask
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
-                acc = jnp.maximum(acc, _shift2(mask, dy, dx))
+                acc = jnp.maximum(acc, _shift2(mask, dy, dx, 0.0))
         mask = acc
     return mask
 
@@ -96,7 +108,7 @@ def binary_erode(mask: jnp.ndarray, steps: int) -> jnp.ndarray:
         acc = mask
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
-                acc = jnp.minimum(acc, _shift2(mask, dy, dx))
+                acc = jnp.minimum(acc, _shift2(mask, dy, dx, 1.0))
         mask = acc
     return mask
 
