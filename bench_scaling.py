@@ -42,17 +42,19 @@ def main():
     )
     geom = prepare_frame_geometry(rig.K0, rig.K1, rig.R, rig.T, (W, H))
     b_img, m_img = (sc.img0, sc.img1) if geom.base_is_cam0 else (sc.img1, sc.img0)
-    br = np.asarray(rectify_on_device(jnp.asarray(b_img), geom.H_base, (H, W)))
-    mr = np.asarray(rectify_on_device(jnp.asarray(m_img), geom.H_match, (H, W)))
     gp = build_geom_pack(geom, (H, W))
 
     base_t = None
     for n_dev in (1, 2, 4, 8):
         mesh = make_frame_mesh(n_dev)
-        runner = ShardedDenseRunner(mesh, cfg, gp)
+        runner = ShardedDenseRunner(mesh, cfg)
         F = n_dev * 2  # two frames per device
         stack = lambda x: np.broadcast_to(x, (F,) + x.shape).copy()
-        args = (stack(br), stack(mr), stack(b_img.astype(np.float32)), stack(m_img.astype(np.float32)))
+        args = (
+            stack(b_img.astype(np.float32)),
+            stack(m_img.astype(np.float32)),
+            [gp] * F,
+        )
         res, mp = runner.run_batch(*args)
         jax.block_until_ready(mp)
         t0 = time.time()

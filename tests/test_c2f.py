@@ -1,0 +1,172 @@
+"""Coarse-to-fine windowed SGM: interpret-mode kernel parity + e2e.
+
+The windowed Pallas kernels (stereo/sgm_pallas.py) must degenerate to the
+full-range kernels when the window covers the whole search range, and the
+full coarse-to-fine path must reproduce full-range SGM disparities on a
+scene whose disparity fits the per-row windows.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wass_tpu.stereo.cost import census_transform, census_cost_volume
+from wass_tpu.stereo.sgm import sgm_aggregate, sgm_disparity, wta_disparity
+from wass_tpu.stereo.sgm_pallas import (
+    census_cost_volume_pallas_windowed,
+    sgm_aggregate_pallas_windowed,
+)
+from wass_tpu.stereo.c2f import (
+    TILE_ROWS,
+    compute_row_windows,
+    sgm_disparity_c2f,
+    wta_disparity_windowed,
+)
+
+
+def _pair_with_row_disparity(rng, H, W, drow):
+    """match = random texture; base[y, x] = match[y, x - drow[y]]."""
+    m = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    b = np.zeros_like(m)
+    for y in range(H):
+        d = int(drow[y])
+        b[y, d:] = m[y, : W - d]
+        b[y, :d] = m[y, :d][::-1]
+    return jnp.asarray(b), jnp.asarray(m)
+
+
+def test_windowed_cost_full_window_identity(rng):
+    H, W, D = 16, 64, 16
+    b = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
+    m = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
+    cb = census_transform(b, (5, 5))
+    cm = census_transform(m, (5, 5))
+    full = census_cost_volume(cb, cm, D, min_disp=1)
+    wstart = jnp.full((H // TILE_ROWS,), 1, jnp.int32)
+    win = census_cost_volume_pallas_windowed(
+        cb, cm, wstart, D, D, min_disp=1, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(win), np.asarray(full))
+
+
+def test_windowed_cost_shifted_tiles(rng):
+    """Each windowed lane j must equal the full-volume lane at
+    wstart[tile] + j - min_disp."""
+    H, W, D, Dw = 16, 64, 24, 8
+    b = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
+    m = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
+    cb = census_transform(b, (5, 5))
+    cm = census_transform(m, (5, 5))
+    min_disp = 1
+    full = np.asarray(census_cost_volume(cb, cm, D, min_disp=min_disp))
+    wstart = jnp.asarray([3, 9], jnp.int32)
+    win = np.asarray(
+        census_cost_volume_pallas_windowed(
+            cb, cm, wstart, Dw, D, min_disp=min_disp, interpret=True
+        )
+    )
+    for t, ws in enumerate([3, 9]):
+        rows = slice(t * TILE_ROWS, (t + 1) * TILE_ROWS)
+        np.testing.assert_array_equal(
+            win[rows], full[rows, :, ws - min_disp : ws - min_disp + Dw]
+        )
+
+
+def test_windowed_aggregate_constant_offsets(rng):
+    """With a constant window start the realigning kernel never rolls and
+    must match the XLA full aggregation exactly (on the windowed slice)."""
+    H, W, D = 16, 32, 16
+    cost = jnp.asarray(rng.integers(0, 60, (H, W, D)).astype(np.uint8))
+    wstart = jnp.zeros((H // TILE_ROWS,), jnp.int32)
+    for dirs in (2, 5, 8):
+        ref = sgm_aggregate(cost, 8, 96, dirs)
+        win = sgm_aggregate_pallas_windowed(cost, wstart, 8, 96, dirs, interpret=True)
+        np.testing.assert_array_equal(np.asarray(win), np.asarray(ref))
+
+
+def test_windowed_aggregate_winner_parity_across_tiles(rng):
+    """Varying window starts: plant a low-cost band at a row-dependent
+    disparity; the windowed aggregation must pick the same winner as the
+    full aggregation wherever the band is inside the window."""
+    H, W, D, Dw = 32, 32, 32, 16
+    drow = 10 + 2 * (np.arange(H) // TILE_ROWS)  # 10, 12, 14, 16
+    cost = np.full((H, W, D), 50, np.uint8)
+    noise = rng.integers(0, 6, (H, W, D)).astype(np.uint8)
+    cost = cost + noise
+    for y in range(H):
+        cost[y, :, drow[y]] = 2
+    cost = jnp.asarray(cost)
+    wstart = jnp.asarray(drow[::TILE_ROWS] - Dw // 2, jnp.int32)
+    off_rows = jnp.repeat(wstart, TILE_ROWS)
+
+    full = np.asarray(sgm_aggregate(cost, 8, 96, 8)).argmin(-1)
+    # Window the cost volume on the host.
+    win_cost = np.stack(
+        [np.asarray(cost)[y, :, o : o + Dw] for y, o in enumerate(np.asarray(off_rows))]
+    )
+    win = sgm_aggregate_pallas_windowed(
+        jnp.asarray(win_cost), wstart, 8, 96, 8, interpret=True
+    )
+    win_d = np.asarray(win).argmin(-1) + np.asarray(off_rows)[:, None]
+    np.testing.assert_array_equal(win_d, full)
+
+
+def test_compute_row_windows_fallbacks():
+    Hc, Wc = 16, 8
+    factor, D, Dw = 4, 64, 16
+    disp_c = np.zeros((Hc, Wc), np.float32)
+    disp_c[4:8, :] = 3.0  # rows 4-7 see coarse disparity 3 => full-res 12
+    ws, cov = compute_row_windows(
+        jnp.asarray(disp_c), factor, D, min_disp=1, win_disp=Dw
+    )
+    ws = np.asarray(ws)
+    assert ws.shape == (Hc * factor // TILE_ROWS,)
+    assert float(cov) == 1.0
+    assert np.all(ws >= 1) and np.all(ws <= 1 + D - Dw)
+    # Tiles covering coarse rows 4-7 center the window on 12.
+    covered = ws[[2, 3]]  # full rows 16..31 <- coarse rows 4..7
+    assert np.all(np.abs(covered + Dw // 2 - 12) <= 1)
+    # All-invalid map: global fallback still yields in-range windows.
+    ws2, _ = compute_row_windows(
+        jnp.zeros((Hc, Wc)), factor, D, min_disp=1, win_disp=Dw
+    )
+    ws2 = np.asarray(ws2)
+    assert np.all(ws2 >= 1) and np.all(ws2 <= 1 + D - Dw)
+
+
+def test_c2f_disparity_end_to_end(rng):
+    """Full c2f path (interpret-mode windowed kernels) vs full-range SGM
+    on a row-dependent-disparity scene."""
+    H, W = 64, 128
+    D, Dw, factor = 32, 16, 4
+    drow = 6 + (np.arange(H) * 8) // H  # 6..13, within each 8-row tile +-1
+    b, m = _pair_with_row_disparity(rng, H, W, drow)
+
+    full = np.asarray(
+        sgm_disparity(b, m, num_disp=D, min_disp=1, use_pallas=False)
+    )
+    c2f = np.asarray(
+        sgm_disparity_c2f(
+            b, m, num_disp=D, min_disp=1, factor=factor, win_disp=Dw,
+            use_pallas=False, interpret=True,
+        )
+    )
+    interior = np.zeros((H, W), bool)
+    interior[4:-4, 24:-4] = True
+    both = (full > 0) & (c2f > 0) & interior
+    assert both.mean() > 0.5
+    agree = np.abs(full - c2f)[both] <= 1.0
+    assert agree.mean() > 0.95
+    # And the c2f result actually recovers the planted disparity.
+    err = np.abs(c2f - drow[:, None])[(c2f > 0) & interior]
+    assert np.median(err) < 0.5
+
+
+def test_wta_windowed_invalid_marker():
+    H, W, Dw = 8, 16, 8
+    agg = jnp.ones((H, W, Dw), jnp.int16) * 10
+    agg = agg.at[:, :, 3].set(0)
+    off = jnp.full((H,), 5, jnp.int32)
+    d = np.asarray(wta_disparity_windowed(agg, off, uniqueness_ratio=1))
+    # Unique winner at lane 3 -> disparity 8 everywhere (interior lanes).
+    assert np.all(d == 8.0)

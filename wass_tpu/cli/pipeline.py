@@ -45,6 +45,18 @@ class SequenceConfig:
     # Optical-flow reconstruction path (reference: WASS_ENABLE_OPTFLOW
     # compile-time option, off by default).  Set to a FlowConfig to enable.
     flow: Optional[object] = None
+    # Production-loop knobs.  The reference overlaps work with 4 worker
+    # processes over NFS (wasscli.py:48,346); here one process pipelines:
+    # PNG decode in native prefetch threads, device work dispatched
+    # dispatch_depth frames ahead (no per-frame host sync), and
+    # finalization (device fetch + mesh export + debug renders) in
+    # writer threads.
+    dispatch_depth: int = 3
+    writer_threads: int = 2
+    # The reference's always-on stereo debug artifact set (stereo.jpg,
+    # disparity renders, coverage, component map — wass_stereo.cpp:854,
+    # 1001,1017,1910-1926, PovMesh.cpp:982-984).
+    debug_renders: bool = True
 
 
 class SequencePipeline:
@@ -102,82 +114,304 @@ class SequencePipeline:
         return autocalibrate_sequence(self.workdirs(), self.cfg.autocal)
 
     # -- stage 4: dense stereo --------------------------------------------
-    def stereo(self, wds: Optional[Sequence[Workdir]] = None) -> List[np.ndarray]:
+    def _frame_geometry(self, cache: dict, K0, K1, R, T, shape):
+        """Geometry + device pack, cached by rig parameters (fixed-rig
+        sequences compute/compile rectification once)."""
+        key = (
+            K0.tobytes(), K1.tobytes(), np.asarray(R).tobytes(),
+            np.asarray(T).tobytes(), shape,
+        )
+        hit = cache.get(key)
+        if hit is None:
+            H, W = shape
+            geom = prepare_frame_geometry(
+                K0, K1, R, T, (W, H), cam_distance=self.cfg.stereo.cam_distance
+            )
+            hit = (geom, build_geom_pack(geom, shape))
+            cache[key] = hit
+        return hit
+
+    def _finalize_stereo_frame(self, wd: Workdir, geom, res, K0, K1, extras) -> np.ndarray:
+        """Per-frame finalization: first host sync of this frame's device
+        results, mesh/plane export (fused native compact+quantize .xyzC
+        writer when available), and the reference's debug artifact set.
+        Runs in a writer thread so the dispatch loop never blocks."""
+        import time as _time
+
+        from wass_tpu import native
+
+        t0 = _time.time()
+        log_lines = []
+
+        # Projection matrices / camera poses in the cam0 frame, using the
+        # same baseline-normalized T as the reconstruction
+        # (wass_stereo.cpp:1888-1894).
+        P0 = K0 @ np.hstack([np.eye(3), np.zeros((3, 1))])
+        P1 = K1 @ np.hstack([geom.R, geom.T.reshape(3, 1)])
+        wd.save_projection_matrices(P0, P1)
+        wd.save_camera_poses(np.eye(3), np.zeros(3), geom.R, geom.T)
+        # Effective-config provenance (save_configuration,
+        # wass_stereo.cpp:1858-1859).
+        with open(wd.path / "stereo_config.txt", "w") as f:
+            for k, v in dataclasses.asdict(self.cfg.stereo).items():
+                f.write(f"{k.upper()}={v}\n")
+
+        n_points = int(res.n_points)  # syncs this frame only
+        log_lines.append(f"triangulated+filtered points: {n_points}")
+
+        # MIN_TRIANGULATED_POINTS gate (wass_stereo.cpp:1993-1997): the
+        # reference aborts the process; we mark the frame failed (nan
+        # plane, empty mesh) and keep the sequence going.
+        if n_points < self.cfg.stereo.min_triangulated:
+            wd.save_plane(None)
+            wd.save_mesh(np.zeros((0, 3)), np.eye(3), np.zeros(3))
+            log_lines.append("FRAME FAILED: below MIN_TRIANGULATED_POINTS")
+            self._write_stereo_log(wd, log_lines, t0)
+            return np.full(4, np.nan)
+
+        plane = np.array(res.plane, np.float64)
+        wd.save_plane(plane if bool(res.plane_ok) else None)
+        log_lines.append("plane: " + " ".join(f"{v:.6g}" for v in plane))
+
+        # Export the compressed mesh in the sea-plane frame (the writer
+        # contract of PovMesh::save_as_xyz_compressed, PovMesh.cpp:377-460).
+        if np.all(np.isfinite(plane)):
+            import jax.numpy as jnp
+
+            Rp, Tp, Rinv, Tinv = (
+                np.array(a, np.float64) for a in rt_from_plane(jnp.asarray(plane))
+            )
+        else:
+            Rp, Rinv = np.eye(3), np.eye(3)
+            Tp, Tinv = np.zeros(3), np.zeros(3)
+        mesh_path = wd.path / "mesh_cam.xyzC"
+        if native.available():
+            # Fused compact+transform+quantize directly from the full point
+            # grid + validity mask — no host-side boolean compaction.
+            native.xyzc_write(
+                mesh_path,
+                np.asarray(res.points, np.float32),
+                np.asarray(res.valid),
+                Rp, Tp, Rinv, Tinv,
+            )
+        else:
+            valid = np.array(res.valid)
+            pts = np.array(res.points, np.float64)[valid]
+            wd.save_mesh(pts @ Rp.T + Tp, Rinv, Tinv)
+
+        if self.cfg.debug_renders:
+            try:
+                from wass_tpu.utils.render import (
+                    render_coverage, render_disparity, render_stereo,
+                )
+
+                disp = np.asarray(res.disparity)
+                render_stereo(
+                    wd.path / "stereo_input.jpg", extras["imgs"][0],
+                    extras["imgs"][1], vertical=True,
+                )
+                # Disparity render (:854, :1001).
+                render_disparity(wd.path / "disparity_final_scaled.jpg", disp)
+                if "rect" in extras:
+                    base_rect, match_rect = extras["rect"]
+                    # Rectification check stereo.jpg (wass_stereo.cpp:1910-1926).
+                    render_stereo(
+                        wd.path / "stereo.jpg", np.asarray(base_rect),
+                        np.asarray(match_rect),
+                    )
+                    # Coverage over the rectified base (:1017).
+                    render_coverage(
+                        wd.path / "disparity_coverage.jpg",
+                        np.asarray(base_rect), disp, roi=geom.roi,
+                    )
+                # Component/validity map (graph_components.jpg,
+                # PovMesh.cpp:982-984): surviving grid points in white.
+                from wass_tpu.utils.render import _save
+
+                _save(
+                    wd.path / "graph_components.jpg",
+                    np.asarray(res.valid).astype(np.uint8) * 255,
+                )
+            except Exception as e:  # debug imagery must never fail the stage
+                log_lines.append(f"debug renders failed: {e}")
+
+        # Optional optical-flow reconstruction (refine_flow,
+        # wass_stereo.cpp:1985-1990): a second, flow-based point cloud
+        # saved next to the stereo mesh, plus the flow debug renders.
+        if self.cfg.flow is not None:
+            from wass_tpu.stereo.flow import flow_reconstruct_frame
+            from wass_tpu.io.ply import save_ply_points
+            from wass_tpu.utils.render import render_flow
+
+            b_img = np.asarray(extras["imgs"][0], np.float32)
+            m_img = np.asarray(extras["imgs"][1], np.float32)
+            fr = flow_reconstruct_frame(
+                res.disparity, b_img, m_img, geom, self.cfg.flow,
+                min_disp=float(self.cfg.stereo.min_disp),
+                valid_rect=res.valid,
+            )
+            render_flow(wd.path / "flow_coarse.png", fr.coarse_flow, 200.0)
+            render_flow(wd.path / "flow.png", fr.flow, 200.0)
+            fpts = fr.points[fr.valid]
+            fcol = np.repeat(
+                np.asarray(b_img)[fr.valid][:, None], 3, axis=1
+            ).astype(np.uint8)
+            save_ply_points(wd.path / "mesh_full_flow.ply", fpts, fcol)
+
+        self._write_stereo_log(wd, log_lines, t0)
+        return plane
+
+    @staticmethod
+    def _write_stereo_log(wd: Workdir, lines, t0) -> None:
+        """Per-stage logfile (wass_stereo_log.txt, wass_stereo.cpp:1833)."""
+        import time as _time
+
+        with open(wd.path / "wass_stereo_log.txt", "w") as f:
+            for ln in lines:
+                f.write(f"[INFO] {ln}\n")
+            f.write(f"[INFO] finalize wall time: {_time.time()-t0:.3f}s\n")
+
+    def stereo(
+        self,
+        wds: Optional[Sequence[Workdir]] = None,
+        progress_stream=None,
+    ) -> List[np.ndarray]:
+        """Production dense-stereo loop: native PNG prefetch -> device
+        dispatch dispatch_depth frames ahead -> writer-thread finalization
+        (the only per-frame host syncs).  With >1 device, frames batch
+        through the frame-sharded runner instead."""
+        import jax
+
+        wds = list(wds if wds is not None else self.workdirs())
+        if len(jax.devices()) > 1 and len(wds) > 1:
+            planes = self._stereo_sharded(wds)
+        else:
+            planes = self._stereo_pipelined(wds, progress_stream)
+
+        self._write_sequence_outputs(wds, planes)
+        return planes
+
+    def _stereo_pipelined(self, wds, progress_stream=None) -> List[np.ndarray]:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         import jax
         import jax.numpy as jnp
 
-        wds = list(wds if wds is not None else self.workdirs())
-        pipe = DenseStereoPipeline(self.cfg.stereo)
-        planes = []
-        for wd in wds:
-            img0 = wd.load_undistorted(0)
-            img1 = wd.load_undistorted(1)
-            K0 = wd.load_intrinsics(0)
-            K1 = wd.load_intrinsics(1)
-            R, T = wd.load_extrinsics()
-            H, W = img0.shape
-            geom = prepare_frame_geometry(K0, K1, R, T, (W, H), cam_distance=self.cfg.stereo.cam_distance)
-            b_img, m_img = (img0, img1) if geom.base_is_cam0 else (img1, img0)
-            b = jnp.asarray(b_img, jnp.float32)
-            m = jnp.asarray(m_img, jnp.float32)
-            base_rect = rectify_on_device(b, geom.H_base, (H, W))
-            match_rect = rectify_on_device(m, geom.H_match, (H, W))
-            res = pipe(base_rect, match_rect, b, m, build_geom_pack(geom, (H, W)))
+        from wass_tpu import native
+        from wass_tpu.utils.progress import progress
 
-            # MIN_TRIANGULATED_POINTS gate (wass_stereo.cpp:1993-1997): the
-            # reference aborts the process; we mark the frame failed (nan
-            # plane, empty mesh) and keep the sequence going.
-            if int(res.n_points) < self.cfg.stereo.min_triangulated:
-                wd.save_plane(None)
-                wd.save_mesh(np.zeros((0, 3)), np.eye(3), np.zeros(3))
-                planes.append(np.full(4, np.nan))
-                continue
+        cfg = self.cfg.stereo
+        pipe = DenseStereoPipeline(cfg)
+        depth = max(1, self.cfg.dispatch_depth)
 
-            plane = np.array(res.plane, np.float64)
-            wd.save_plane(plane if bool(res.plane_ok) else None)
-            planes.append(plane)
+        prefetcher = native.Prefetcher(4) if native.available() else None
+        tickets = {}
 
-            # Export the compressed mesh in the sea-plane frame (the writer
-            # contract of PovMesh::save_as_xyz_compressed).
-            valid = np.array(res.valid)
-            pts = np.array(res.points, np.float64)[valid]
-            if np.all(np.isfinite(plane)):
-                Rp, Tp, Rinv, Tinv = (np.array(a, np.float64) for a in rt_from_plane(jnp.asarray(plane)))
-                pts_plane = pts @ Rp.T + Tp
-            else:
-                Rinv = np.eye(3)
-                Tinv = np.zeros(3)
-                pts_plane = pts
-            wd.save_mesh(pts_plane, Rinv, Tinv)
-
-            # Projection matrices / camera poses in the cam0 frame, using
-            # the same baseline-normalized T as the reconstruction.
-            P0 = K0 @ np.hstack([np.eye(3), np.zeros((3, 1))])
-            P1 = K1 @ np.hstack([geom.R, geom.T.reshape(3, 1)])
-            wd.save_projection_matrices(P0, P1)
-            wd.save_camera_poses(np.eye(3), np.zeros(3), geom.R, geom.T)
-
-            # Optional optical-flow reconstruction (refine_flow,
-            # wass_stereo.cpp:1985-1990): a second, flow-based point cloud
-            # saved next to the stereo mesh, plus the flow debug renders.
-            if self.cfg.flow is not None:
-                from wass_tpu.stereo.flow import flow_reconstruct_frame
-                from wass_tpu.io.ply import save_ply_points
-                from wass_tpu.utils.render import render_flow
-
-                fr = flow_reconstruct_frame(
-                    res.disparity, b_img, m_img, geom, self.cfg.flow,
-                    min_disp=float(self.cfg.stereo.min_disp),
-                    valid_rect=res.valid,
+        def submit(i):
+            if prefetcher is not None and 0 <= i < len(wds) and i not in tickets:
+                tickets[i] = (
+                    prefetcher.submit(wds[i].undistorted_path(0)),
+                    prefetcher.submit(wds[i].undistorted_path(1)),
                 )
-                render_flow(wd.path / "flow_coarse.png", fr.coarse_flow, 200.0)
-                render_flow(wd.path / "flow.png", fr.flow, 200.0)
-                fpts = fr.points[fr.valid]
-                fcol = np.repeat(
-                    np.asarray(b_img)[fr.valid][:, None], 3, axis=1
-                ).astype(np.uint8)
-                save_ply_points(wd.path / "mesh_full_flow.ply", fpts, fcol)
 
+        def load_frame(i):
+            if prefetcher is not None:
+                t0, t1 = tickets.pop(i)
+                return prefetcher.take(t0), prefetcher.take(t1)
+            return wds[i].load_undistorted(0), wds[i].load_undistorted(1)
+
+        geom_cache: dict = {}
+        planes: List[np.ndarray] = [None] * len(wds)
+        inflight = deque()
+        writers = ThreadPoolExecutor(max_workers=max(1, self.cfg.writer_threads))
+        try:
+            for i in range(depth + 1):
+                submit(i)
+            for i, wd in enumerate(wds):
+                img0, img1 = load_frame(i)
+                submit(i + depth + 1)
+                K0 = wd.load_intrinsics(0)
+                K1 = wd.load_intrinsics(1)
+                R, T = wd.load_extrinsics()
+                geom, gp = self._frame_geometry(geom_cache, K0, K1, R, T, img0.shape)
+                b_img, m_img = (img0, img1) if geom.base_is_cam0 else (img1, img0)
+                H, W = img0.shape
+                # uint8 upload (4x less relay traffic than f32), cast on device.
+                b = jnp.asarray(np.ascontiguousarray(b_img)).astype(jnp.float32)
+                m = jnp.asarray(np.ascontiguousarray(m_img)).astype(jnp.float32)
+                base_rect = rectify_on_device(b, geom.H_base, (H, W))
+                match_rect = rectify_on_device(m, geom.H_match, (H, W))
+                res = pipe(base_rect, match_rect, b, m, gp)
+
+                extras = {"rect": (base_rect, match_rect), "imgs": (b_img, m_img)}
+                fut = writers.submit(
+                    self._finalize_stereo_frame, wd, geom, res, K0, K1, extras
+                )
+                inflight.append((i, fut))
+                # Bound the device-buffer backlog; the pop's .result() is
+                # the oldest frame's writer, typically already done.
+                while len(inflight) > depth:
+                    j, f = inflight.popleft()
+                    planes[j] = f.result()
+                    progress(j + 1, len(wds), stream=progress_stream)
+            while inflight:
+                j, f = inflight.popleft()
+                planes[j] = f.result()
+                progress(j + 1, len(wds), stream=progress_stream)
+        finally:
+            writers.shutdown(wait=True)
+            if prefetcher is not None:
+                prefetcher.close()
+        return planes
+
+    def _stereo_sharded(self, wds) -> List[np.ndarray]:
+        """Frame-sharded batches over all devices (ICI data parallelism over
+        frames — the wasscli 4-worker thread pool equivalent,
+        wasscli.py:277,346)."""
+        import jax
+
+        from wass_tpu.parallel.mesh import make_frame_mesh
+        from wass_tpu.parallel.runner import ShardedDenseRunner
+
+        n_dev = len(jax.devices())
+        mesh = make_frame_mesh(n_dev)
+        runner = ShardedDenseRunner(mesh, self.cfg.stereo)
+        planes: List[np.ndarray] = []
+        geom_cache: dict = {}
+        for s in range(0, len(wds), n_dev):
+            group = wds[s : s + n_dev]
+            imgs, geoms, packs = [], [], []
+            for wd in group:
+                img0 = wd.load_undistorted(0)
+                img1 = wd.load_undistorted(1)
+                K0, K1 = wd.load_intrinsics(0), wd.load_intrinsics(1)
+                R, T = wd.load_extrinsics()
+                geom, gp = self._frame_geometry(geom_cache, K0, K1, R, T, img0.shape)
+                b_img, m_img = (img0, img1) if geom.base_is_cam0 else (img1, img0)
+                imgs.append((b_img.astype(np.float32), m_img.astype(np.float32)))
+                geoms.append((geom, K0, K1))
+                packs.append(gp)
+            while len(imgs) < n_dev:  # ragged tail: repeat the last frame
+                imgs.append(imgs[-1])
+                packs.append(packs[-1])
+            res, _mean_plane = runner.run_batch(
+                np.stack([b for b, _ in imgs]),
+                np.stack([m for _, m in imgs]),
+                packs,
+            )
+            for k, wd in enumerate(group):
+                one = type(res)(*(np.asarray(leaf[k]) for leaf in res))
+                geom, K0, K1 = geoms[k]
+                # Rectified images stay in-graph in the sharded path, so
+                # the rectification-check renders are skipped.
+                extras = {"imgs": imgs[k]}
+                planes.append(
+                    self._finalize_stereo_frame(wd, geom, one, K0, K1, extras)
+                )
+        return planes
+
+    def _write_sequence_outputs(self, wds, planes) -> None:
         # Aggregate planes (wasscli.py:320-343).
         out = self.outdir / "output"
         out.mkdir(exist_ok=True)
@@ -188,4 +422,3 @@ class SequencePipeline:
         with open(self.outdir / "workspaces.txt", "w") as f:
             for wd in wds:
                 f.write(str(wd.path) + "\n")
-        return planes

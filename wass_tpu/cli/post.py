@@ -47,18 +47,31 @@ def info(ncfile):
 @click.option("--lowpass", "kind", flag_value="lowpass", default=True)
 @click.option("--highpass", "kind", flag_value="highpass")
 @click.option("--filter-variable", default="Z")
-def filter(ncfile, cutoff, kind, filter_variable):
-    """Zero-phase temporal Butterworth (wasspost `filter`/`filter_fast`)."""
+@click.option("--overwrite", is_flag=True, default=False)
+def filter(ncfile, cutoff, kind, filter_variable, overwrite):
+    """Zero-phase temporal Butterworth (wasspost `filter`/`filter_fast`,
+    wasspost.py:157-251).  Out-of-core: spatial blocks stream through the
+    filter with the full time axis per block (the reference's 'crucial'
+    count=-1 chunking), under the WASS_POST_MEMORY_MB budget."""
     from wass_tpu.post.filters import temporal_butterworth
+    from wass_tpu.post.ooc import apply_timewise
 
     with _open(ncfile, "r+") as f:
+        if f[filter_variable].shape[0] <= 10:
+            # Reference contract (wasspost.py:171-173).
+            raise click.ClickException(
+                "Dataset too short. I need more than 10 frames for lowpass filtering"
+            )
         fps = float(f["meta"].attrs.get("fps", 1.0))
-        Z = f[filter_variable][...]
-        out = temporal_butterworth(Z, fps=fps, cutoff_hz=cutoff, kind=kind)
-        name = filter_variable + "_filtered"
-        if name in f:
-            del f[name]
-        f.create_dataset(name, data=out.astype(np.float32), chunks=f[filter_variable].chunks)
+        name = filter_variable if overwrite else filter_variable + "_filtered"
+        apply_timewise(
+            f, filter_variable, name,
+            lambda blk: temporal_butterworth(
+                blk, fps=fps, cutoff_hz=cutoff, kind=kind
+            ).astype(np.float32),
+            dtype="f4",
+        )
+        f[name].attrs["frequency_filter_cutoff"] = cutoff
     click.echo(f"wrote {name}")
 
 
@@ -67,17 +80,22 @@ def filter(ncfile, cutoff, kind, filter_variable):
 @click.option("--cutoff-in-hz", type=float, default=1.0)
 @click.option("--filter-variable", default="Z")
 def spatial_lowpass(ncfile, cutoff_in_hz, filter_variable):
+    """Frame-wise radial 2D Butterworth (wasspost `spatial_lowpass`,
+    wasspost.py:323-371); streams over time slabs."""
     from wass_tpu.post.filters import spatial_butterworth_lowpass
+    from wass_tpu.post.ooc import apply_framewise
 
     with _open(ncfile, "r+") as f:
         XX = f["X_grid"][...] / 1000.0
         du = abs(XX[1, 0] - XX[0, 0]) or abs(XX[0, 1] - XX[0, 0])
-        Z = f[filter_variable][...]
-        out = spatial_butterworth_lowpass(Z, du=du, cutoff=cutoff_in_hz)
         name = filter_variable + "_slp"
-        if name in f:
-            del f[name]
-        f.create_dataset(name, data=out.astype(np.float32))
+        apply_framewise(
+            f, filter_variable, name,
+            lambda blk: spatial_butterworth_lowpass(
+                blk, du=du, cutoff=cutoff_in_hz
+            ).astype(np.float32),
+            dtype="f4",
+        )
     click.echo(f"wrote {name}")
 
 
@@ -92,8 +110,12 @@ def spectrum(ncfile, nperseg, rangespan, variable):
 
     with _open(ncfile) as f:
         fps = float(f["meta"].attrs.get("fps", 1.0))
-        Z = f[variable][...] / 1000.0  # mm -> m
-        fr, S, _ = compute_spectrum(Z, dt=1.0 / fps, nperseg=nperseg, rangespan=rangespan)
+        # The h5py dataset is passed directly: compute_spectrum slices only
+        # the center patch, so arbitrarily long cubes never load fully.
+        fr, S, _ = compute_spectrum(
+            f[variable], dt=1.0 / fps, nperseg=nperseg, rangespan=rangespan,
+            scale=1e-3,  # mm -> m
+        )
         st = spectrum_stats(fr, S)
         click.echo(f"Hm0  = {st.hm0:.3f} m")
         click.echo(f"Tm01 = {st.tm01:.3f} s")
@@ -121,8 +143,11 @@ def spectrum3d(ncfile, segments):
         fps = float(f["meta"].attrs.get("fps", 1.0))
         XX = f["X_grid"][...] / 1000.0
         du = abs(XX[1, 0] - XX[0, 0]) or abs(XX[0, 1] - XX[0, 0])
-        Z = f["Z"][...] / 1000.0
-        S, KX, KY, fr = compute_3d_spectrum(Z, du=du, dt=1.0 / fps, segments=segments)
+        # Out-of-core: compute_3d_spectrum reads one Welch time segment at
+        # a time from the h5py dataset.
+        S, KX, KY, fr = compute_3d_spectrum(
+            f["Z"], du=du, dt=1.0 / fps, segments=segments, datascale=1e-3
+        )
         out = Path(ncfile).with_suffix(".spectrum3d.npz")
         np.savez_compressed(out, S=S, KX=KX, KY=KY, f=fr)
         click.echo(f"3D spectrum saved to {out}")
@@ -144,11 +169,13 @@ def setfps(ncfile, fps):
 @click.argument("ncfile", type=click.Path(exists=True))
 @click.option("--variable", default="Z")
 def zeromean(ncfile, variable):
-    from wass_tpu.post.filters import zero_mean
+    """Per-point temporal zero-mean, chunked (two streaming passes like
+    the reference's chunked HDF5 zeromean, wasspost.py:965-1005)."""
+    from wass_tpu.post.ooc import apply_framewise, streaming_time_mean
 
     with _open(ncfile, "r+") as f:
-        Z = f[variable][...]
-        f[variable][...] = zero_mean(Z)
+        mean = streaming_time_mean(f[variable]).astype(np.float32)
+        apply_framewise(f, variable, variable, lambda blk: blk - mean[None])
     click.echo("per-point temporal mean removed")
 
 
@@ -158,34 +185,81 @@ def zeromean(ncfile, variable):
 @click.option("--zmin", type=float, required=True)
 @click.option("--zmax", type=float, required=True)
 def clip(ncfile, variable, zmin, zmax):
+    from wass_tpu.post.ooc import apply_framewise
+
     with _open(ncfile, "r+") as f:
-        Z = f[variable][...]
-        f[variable][...] = np.clip(Z, zmin, zmax)
+        apply_framewise(f, variable, variable, lambda blk: np.clip(blk, zmin, zmax))
     click.echo(f"clipped {variable} to [{zmin}, {zmax}]")
 
 
 @cli.command()
 @click.argument("ncfile", type=click.Path(exists=True))
-@click.option("--frame", type=int, default=0)
-def visibilitymap(ncfile, frame):
-    """Occlusion mask toward camera 0 for one frame (wasspost
-    `visibilitymap`, wasspost.py:502-621)."""
-    from wass_tpu.post.geometry import compute_occlusion_mask
+@click.option("--cam", type=int, default=0)
+@click.option("--numframes", type=int, default=-1, help="-1 = all frames")
+@click.option("--outputdir", type=click.Path(), default=None,
+              help="also write per-frame occlusion PNGs here")
+def visibilitymap(ncfile, cam, numframes, outputdir):
+    """Occlusion masks + incidence angles toward camera N for the whole
+    sequence (wasspost `visibilitymap`, wasspost.py:502-621): streams
+    frame batches, writes /occlusion_camN (u1) and /incident_angles_camN
+    (f4); points with incidence >= 88 deg count as occluded."""
+    from wass_tpu.post.geometry import (
+        compute_occlusion_mask, compute_slope_and_normals,
+    )
+    from wass_tpu.post.ooc import iter_time_slabs
 
     with _open(ncfile, "r+") as f:
-        Z = f["Z"][frame] / 1000.0
+        Z = f["Z"]
+        N = Z.shape[0] if numframes < 0 else min(numframes, Z.shape[0])
         XX = f["X_grid"][...] / 1000.0
         YY = f["Y_grid"][...] / 1000.0
-        # Camera position in grid frame from Cam0toGrid.
-        C = f["meta"]["Cam0toGrid"][...] @ np.array([0.0, 0, 0, 1])
+        dx = abs(XX[0, 1] - XX[0, 0]) or abs(XX[1, 0] - XX[0, 0])
+        C = f["meta"][f"Cam{cam}toGrid"][...] @ np.array([0.0, 0, 0, 1])
         C = C[:3] / C[3]
-        rays = np.dstack([C[0] - XX, C[1] - YY, np.maximum(C[2] - Z, 1e-3)])
-        occ = compute_occlusion_mask(Z, rays)
-        name = f"occlusion_{frame:06d}"
-        if name in f:
-            del f[name]
-        f.create_dataset(name, data=occ)
-    click.echo(f"wrote {name} ({occ.mean()*100:.1f}% occluded)")
+
+        from wass_tpu.post.ooc import clamp_chunks
+
+        occ_name = f"occlusion_cam{cam}"
+        inc_name = f"incident_angles_cam{cam}"
+        for name, dt in ((occ_name, "u1"), (inc_name, "f4")):
+            if name in f:
+                del f[name]
+        ck = clamp_chunks(Z.chunks, Z.shape)
+        occ_ds = f.create_dataset(occ_name, shape=Z.shape, dtype="u1", chunks=ck)
+        inc_ds = f.create_dataset(inc_name, shape=Z.shape, dtype="f4", chunks=ck)
+
+        total_occ = 0
+        for ts in iter_time_slabs((N,) + Z.shape[1:], 4):
+            zz_slab = np.asarray(Z[ts], np.float64) / 1000.0
+            for k in range(zz_slab.shape[0]):
+                zz = zz_slab[k]
+                # Unit rays surface point -> camera, in the grid frame.
+                rays = np.dstack([C[0] - XX, C[1] - YY, np.maximum(C[2] - zz, 1e-3)])
+                rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+                # Incidence angle vs the surface normal (:570-575).
+                _, normals = compute_slope_and_normals(XX, YY, zz)
+                inc = np.degrees(np.arccos(np.clip(np.sum(normals * rays, -1), -1, 1)))
+                # Ray march in grid-cell units (the reference passes ZZ/dx
+                # with unit rays, :581-583).
+                occ = compute_occlusion_mask(zz / dx, rays)
+                occ[inc >= 88.0] = 1
+                i = (ts.start or 0) + k
+                occ_ds[i] = occ
+                inc_ds[i] = inc.astype(np.float32)
+                total_occ += int(occ.sum())
+                if outputdir is not None:
+                    from wass_tpu.utils.render import _save
+
+                    Path(outputdir).mkdir(parents=True, exist_ok=True)
+                    _save(
+                        Path(outputdir) / f"{i:08d}_occlusion_mask_cam{cam}.png",
+                        occ * 255,
+                    )
+        denom = N * Z.shape[1] * Z.shape[2]
+    click.echo(
+        f"wrote {occ_name} + {inc_name} over {N} frames "
+        f"({100.0 * total_occ / max(denom, 1):.1f}% occluded)"
+    )
 
 
 @cli.command()
@@ -237,15 +311,20 @@ def radiance(ncfile, cam, wassdir, numframes, zvariable):
 @click.option("--cam", type=int, default=0)
 @click.option("--filtersize", type=int, default=200)
 def bgimage(ncfile, cam, filtersize):
-    """Time-wise box filter of /radiance_camN -> /radiance_bgimage_camN."""
+    """Time-wise box filter of /radiance_camN -> /radiance_bgimage_camN
+    (wasspost `bgimage`, wasspost.py:1014-1074).  Out-of-core: spatial
+    blocks with the full time axis stream through the same reflect-mode
+    uniform filter the reference applies via dask map_overlap."""
     from wass_tpu.post.radiance import bg_radiance
+    from wass_tpu.post.ooc import apply_timewise
 
     with _open(ncfile, "r+") as f:
-        src = f[f"radiance_cam{cam}"][...]
         name = f"radiance_bgimage_cam{cam}"
-        if name in f:
-            del f[name]
-        f.create_dataset(name, data=bg_radiance(src, filtersize))
+        apply_timewise(
+            f, f"radiance_cam{cam}", name,
+            lambda blk: bg_radiance(blk, filtersize).astype(np.float32),
+            dtype="f4",
+        )
     click.echo(f"wrote {name}")
 
 
@@ -255,16 +334,23 @@ def bgimage(ncfile, cam, filtersize):
 @click.option("--threshold-val", type=float, default=0.35)
 @click.option("--use-vats", is_flag=True, default=False)
 def radiance_threshold(ncfile, cam, threshold_val, use_vats):
-    """Background-subtracted binarization -> /radiance_thresholded_camN."""
+    """Background-subtracted binarization -> /radiance_thresholded_camN
+    (wasspost.py:1084-1145, per-frame VATS preserved); streams over time
+    slabs."""
     from wass_tpu.post.radiance import radiance_threshold as rt
+    from wass_tpu.post.ooc import iter_time_slabs
 
     with _open(ncfile, "r+") as f:
-        rad = f[f"radiance_cam{cam}"][...]
-        bg = f[f"radiance_bgimage_cam{cam}"][...]
+        rad = f[f"radiance_cam{cam}"]
+        bg = f[f"radiance_bgimage_cam{cam}"]
         name = f"radiance_thresholded_cam{cam}"
         if name in f:
             del f[name]
-        f.create_dataset(name, data=rt(rad, bg, threshold_val, use_vats))
+        out = f.create_dataset(name, shape=rad.shape, dtype="u1", chunks=rad.chunks)
+        for ts in iter_time_slabs(rad.shape, rad.dtype.itemsize, n_buffers=4):
+            r = np.asarray(rad[ts], np.float32)
+            b = np.asarray(bg[ts], np.float32)
+            out[ts] = rt(r, b, threshold_val, use_vats=use_vats)
     click.echo(f"wrote {name}")
 
 

@@ -91,6 +91,14 @@ class DenseStereoConfig:
     random_seed: int = 0
     use_pallas: bool = True  # hand-written TPU SGM kernels (falls back to
     # lax.scan on backends without Mosaic support — see _stage_disparity)
+    # Coarse-to-fine disparity windowing (stereo/c2f.py): full-range SGM at
+    # 1/c2f_factor resolution bounds a per-row window of c2f_window
+    # disparities for the full-res pass.  0 disables (full-range SGM).
+    # Active only on TPU with conforming static shapes (c2f.c2f_supported);
+    # makes frame time nearly independent of num_disp (the reference's
+    # design point is num_disp=640, wass_stereo.cpp:742-744).
+    c2f_window: int = 128
+    c2f_factor: int = 4
 
 
 class DenseFrameResult(NamedTuple):
@@ -166,6 +174,57 @@ def prepare_frame_geometry(
 # --------------------------------------------------------------------------
 # Device-side stages
 # --------------------------------------------------------------------------
+
+
+def _c2f_active(cfg: DenseStereoConfig, shape) -> bool:
+    """Coarse-to-fine windowing engages when Pallas is available and the
+    static shapes conform (stereo/c2f.py)."""
+    if not _pallas_ok(cfg) or cfg.c2f_window <= 0:
+        return False
+    from wass_tpu.stereo.c2f import c2f_supported
+
+    H, W = shape
+    if cfg.dense_scale != 1.0:
+        H, W = round(H * cfg.dense_scale), round(W * cfg.dense_scale)
+    return c2f_supported(
+        H, W, cfg.num_disp, cfg.c2f_window, cfg.c2f_factor, cfg.directions,
+        cfg.lr_max_diff,
+    )
+
+
+def _dispatch_disparity(base_s: jnp.ndarray, match_s: jnp.ndarray, cfg: DenseStereoConfig) -> jnp.ndarray:
+    """Full-range SGM or the coarse-to-fine windowed path (monolithic-jit
+    callers; the fine-grained production pipeline has its own dispatch)."""
+    if _c2f_active(cfg, base_s.shape):
+        from wass_tpu.stereo.c2f import sgm_disparity_c2f
+
+        return sgm_disparity_c2f(
+            base_s,
+            match_s,
+            num_disp=cfg.num_disp,
+            min_disp=cfg.min_disp,
+            P1=cfg.p1,
+            P2=cfg.p2,
+            directions=cfg.directions,
+            census_win=cfg.census_win,
+            uniqueness_ratio=cfg.uniqueness_ratio,
+            factor=cfg.c2f_factor,
+            win_disp=cfg.c2f_window,
+            use_pallas=True,
+        )
+    return sgm_disparity(
+        base_s,
+        match_s,
+        num_disp=cfg.num_disp,
+        min_disp=cfg.min_disp,
+        P1=cfg.p1,
+        P2=cfg.p2,
+        directions=cfg.directions,
+        census_win=cfg.census_win,
+        uniqueness_ratio=cfg.uniqueness_ratio,
+        lr_max_diff=cfg.lr_max_diff,
+        use_pallas=_pallas_ok(cfg),
+    )
 
 
 def disparity_postprocess(disp: jnp.ndarray, cfg: DenseStereoConfig) -> jnp.ndarray:
@@ -383,19 +442,7 @@ def dense_stereo_device(
     else:
         base_s, match_s = base_rect, match_rect
 
-    disp = sgm_disparity(
-        base_s,
-        match_s,
-        num_disp=cfg.num_disp,
-        min_disp=cfg.min_disp,
-        P1=cfg.p1,
-        P2=cfg.p2,
-        directions=cfg.directions,
-        census_win=cfg.census_win,
-        uniqueness_ratio=cfg.uniqueness_ratio,
-        lr_max_diff=cfg.lr_max_diff,
-        use_pallas=_pallas_ok(cfg),
-    )
+    disp = _dispatch_disparity(base_s, match_s, cfg)
     disp = disparity_postprocess(disp, cfg)
 
     pts, valid = triangulate_dense(disp, geom_pack, base_rect, match_rect, cfg)
@@ -436,13 +483,7 @@ def _stage_disparity(base_rect, match_rect, cfg: DenseStereoConfig):
         sh, sw = round(h * cfg.dense_scale), round(w * cfg.dense_scale)
         base_rect = resize(base_rect, (sh, sw), interp="cubic")
         match_rect = resize(match_rect, (sh, sw), interp="cubic")
-    disp = sgm_disparity(
-        base_rect, match_rect,
-        num_disp=cfg.num_disp, min_disp=cfg.min_disp, P1=cfg.p1, P2=cfg.p2,
-        directions=cfg.directions, census_win=cfg.census_win,
-        uniqueness_ratio=cfg.uniqueness_ratio, lr_max_diff=cfg.lr_max_diff,
-        use_pallas=_pallas_ok(cfg),
-    )
+    disp = _dispatch_disparity(base_rect, match_rect, cfg)
     return disparity_postprocess(disp, cfg)
 
 
@@ -510,6 +551,61 @@ def _jit_postprocess(disp, cfg):
     return disparity_postprocess(disp, cfg)
 
 
+# Coarse-to-fine pieces (each a small XLA program, like the rest of the
+# fine-grained production path).
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_c2f_coarse(base_rect, match_rect, cfg: DenseStereoConfig):
+    from wass_tpu.stereo.c2f import coarse_num_disp, downsample_pool
+
+    bc = downsample_pool(base_rect, cfg.c2f_factor)
+    mc = downsample_pool(match_rect, cfg.c2f_factor)
+    return sgm_disparity(
+        bc, mc,
+        num_disp=coarse_num_disp(cfg.num_disp, cfg.c2f_factor),
+        min_disp=max(1, cfg.min_disp // cfg.c2f_factor),
+        P1=cfg.p1, P2=cfg.p2,
+        directions=cfg.directions if cfg.directions != 5 else 8,
+        census_win=cfg.census_win,
+        uniqueness_ratio=cfg.uniqueness_ratio,
+        use_pallas=_pallas_ok(cfg),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_c2f_windows(disp_c, cfg: DenseStereoConfig):
+    from wass_tpu.stereo.c2f import compute_row_windows
+
+    wstart, cov = compute_row_windows(
+        disp_c, cfg.c2f_factor, cfg.num_disp, cfg.min_disp, cfg.c2f_window
+    )
+    return wstart, cov
+
+
+@partial(jax.jit, static_argnames=("win_disp", "num_disp", "min_disp"))
+def _jit_cost_windowed(cb, cm, wstart, win_disp, num_disp, min_disp):
+    from wass_tpu.stereo.sgm_pallas import census_cost_volume_pallas_windowed
+
+    return census_cost_volume_pallas_windowed(
+        cb, cm, wstart, win_disp, num_disp, min_disp
+    )
+
+
+@partial(jax.jit, static_argnames=("P1", "P2", "directions"))
+def _jit_aggregate_windowed(cost, wstart_tiles, P1, P2, directions):
+    from wass_tpu.stereo.sgm_pallas import sgm_aggregate_pallas_windowed
+
+    return sgm_aggregate_pallas_windowed(cost, wstart_tiles, P1, P2, directions)
+
+
+@partial(jax.jit, static_argnames=("uniqueness_ratio",))
+def _jit_wta_windowed(agg, off_rows, uniqueness_ratio):
+    from wass_tpu.stereo.c2f import wta_disparity_windowed
+
+    return wta_disparity_windowed(agg, off_rows, uniqueness_ratio)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _jit_triangulate(disp, geom_pack, base_rect, match_rect, cfg):
     return triangulate_dense(disp, geom_pack, base_rect, match_rect, cfg)
@@ -542,9 +638,23 @@ class DenseStereoPipeline:
             match_rect = resize(match_rect, (sh, sw), interp="cubic")
         cb = _jit_census(base_rect, cfg.census_win)
         cm = _jit_census(match_rect, cfg.census_win)
-        cost = _jit_cost(cb, cm, cfg.num_disp, cfg.min_disp, _pallas_ok(cfg))
-        agg = _jit_aggregate(cost, cfg.p1, cfg.p2, cfg.directions, _pallas_ok(cfg))
-        disp = _jit_wta(agg, cfg.min_disp, cfg.uniqueness_ratio, cfg.lr_max_diff)
+        if _c2f_active(cfg, base_rect.shape):
+            from wass_tpu.stereo.c2f import TILE_ROWS
+
+            disp_c = _jit_c2f_coarse(base_rect, match_rect, cfg)
+            wstart, _cov = _jit_c2f_windows(disp_c, cfg)
+            cost = _jit_cost_windowed(
+                cb, cm, wstart, cfg.c2f_window, cfg.num_disp, cfg.min_disp
+            )
+            agg = _jit_aggregate_windowed(
+                cost, wstart, cfg.p1, cfg.p2, cfg.directions
+            )
+            off_rows = jnp.repeat(wstart, TILE_ROWS)
+            disp = _jit_wta_windowed(agg, off_rows, cfg.uniqueness_ratio)
+        else:
+            cost = _jit_cost(cb, cm, cfg.num_disp, cfg.min_disp, _pallas_ok(cfg))
+            agg = _jit_aggregate(cost, cfg.p1, cfg.p2, cfg.directions, _pallas_ok(cfg))
+            disp = _jit_wta(agg, cfg.min_disp, cfg.uniqueness_ratio, cfg.lr_max_diff)
         disp = _jit_postprocess(disp, cfg)
         pts, valid0 = _jit_triangulate(disp, geom_pack, base_rect, match_rect, cfg)
         valid = _jit_outlier(pts, valid0, cfg)
@@ -566,6 +676,8 @@ def build_geom_pack(geom: "FrameGeometry", image_shape) -> dict:
     else:
         R_mb, T_mb = geom.R, geom.T
     return {
+        "H_base": jnp.asarray(geom.H_base, jnp.float32),
+        "H_match": jnp.asarray(geom.H_match, jnp.float32),
         "Hi_base": jnp.asarray(geom.Hi_base, jnp.float32),
         "Hi_match": jnp.asarray(geom.Hi_match, jnp.float32),
         "K0": jnp.asarray(geom.K0, jnp.float32),

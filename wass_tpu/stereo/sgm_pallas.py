@@ -290,3 +290,241 @@ def census_cost_volume_pallas(
 
 def _cost_kernel_entry(*refs, num_disp, min_disp, nw):
     return _cost_kernel(refs, num_disp=num_disp, min_disp=min_disp, nw=nw)
+
+
+# --------------------------------------------------------------------------
+# Coarse-to-fine windowed kernels
+#
+# The reference searches a fixed global disparity range (MAX_DISPARITY=640
+# default, /root/reference/src/wass_stereo/wass_stereo.cpp:742-744).  For an
+# obliquely-viewed sea surface the disparity is almost a function of the
+# image row, so a coarse full-range pass at 1/4 resolution bounds the
+# per-row disparity to a narrow window and the full-resolution pass only
+# evaluates win_disp (= 128) disparities around it.  Cost volume, SGM
+# aggregation and WTA all shrink by D/win_disp; frame time becomes nearly
+# independent of the search range.
+#
+# Window contract: the window start is constant within an 8-row tile
+# (matching the cost kernel's row tiling).  Lane index j of the windowed
+# volume means true disparity wstart[tile(y)] + j.  Scans along x need no
+# change (each slab row keeps one offset); scans along y realign the carry
+# with a dynamic lane roll when the window start changes between rows.
+# --------------------------------------------------------------------------
+
+
+def _cost_kernel_windowed(off_ref, *refs, win_disp, nw, P, WP):
+    """Census cost for one row tile over a dynamic per-tile disparity
+    window [off, off + win_disp).  Same packing as _cost_kernel; the match
+    planes are dynamically pre-rotated once per tile so the inner disparity
+    loop uses static lane slices."""
+    i = pl.program_id(0)
+    off = off_ref[i]
+    cb = refs[:nw]
+    cm = refs[nw : 2 * nw]
+    out_ref = refs[2 * nw]
+    b = [r[...] for r in cb]
+    rows, W = b[0].shape
+    # Rotate each padded plane so original column (P - off - Dw) lands at
+    # lane 0 (Mosaic rejects dynamic-start unaligned vector loads, but a
+    # dynamic full-row lane rotate is native — the plane width WP is padded
+    # to the 128-lane granule); the j-th disparity is then the static
+    # slice [Dw-j, Dw-j+W).  No wrap: off <= P - Dw by the window clip, so
+    # the used region never crosses the rotation seam.
+    start = P - off - win_disp
+    m = [pltpu.roll(r[...], (-start) % WP, axis=1) for r in cm]
+
+    for jw in range(win_disp // 4):
+        word = None
+        for k in range(4):
+            j = jw * 4 + k
+            s = win_disp - j
+            c = jax.lax.population_count(b[0] ^ m[0][:, s : s + W])
+            for w in range(1, nw):
+                c = c + jax.lax.population_count(b[w] ^ m[w][:, s : s + W])
+            word = c if word is None else word | (c << (8 * k))
+        out_ref[jw, :, :] = word
+
+
+def census_cost_volume_pallas_windowed(
+    census_base: jnp.ndarray,
+    census_match: jnp.ndarray,
+    wstart_tiles: jnp.ndarray,
+    win_disp: int,
+    num_disp: int,
+    min_disp: int = 0,
+    rows_per_tile: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Windowed census cost volume: (H, W, win_disp) uint8 where lane j of
+    row y is the cost at true disparity wstart_tiles[y // rows_per_tile] + j.
+    wstart_tiles: (H // rows_per_tile,) int32 in [min_disp,
+    min_disp + num_disp - win_disp]."""
+    H, W, nw = census_base.shape
+    assert H % rows_per_tile == 0, "pad image height to the tile size"
+    assert win_disp % 4 == 0
+    max_cost = min(32 * nw, 255)
+    P = num_disp + min_disp
+    # Lane-align the padded plane width (the kernel's dynamic rotate
+    # requires a multiple of the 128-lane granule).
+    pad_r = (-(W + P)) % 128
+    WP = W + P + pad_r
+    planes_b = [census_base[:, :, w] for w in range(nw)]
+    planes_m = [
+        jnp.pad(census_match[:, :, w], ((0, 0), (P, pad_r))) for w in range(nw)
+    ]
+    kernel = functools.partial(
+        _cost_kernel_windowed, win_disp=win_disp, nw=nw, P=P, WP=WP
+    )
+    n_tiles = H // rows_per_tile
+    DW = win_disp // 4
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((rows_per_tile, W), lambda i, off: (i, 0)) for _ in range(nw)
+        ]
+        + [
+            pl.BlockSpec((rows_per_tile, WP), lambda i, off: (i, 0))
+            for _ in range(nw)
+        ],
+        out_specs=pl.BlockSpec((DW, rows_per_tile, W), lambda i, off: (0, i, 0)),
+    )
+    packed = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((DW, H, W), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(wstart_tiles.astype(jnp.int32), *planes_b, *planes_m)
+    u8 = jax.lax.bitcast_convert_type(packed, jnp.uint8)  # (DW, H, W, 4)
+    vol = jnp.transpose(u8, (1, 2, 0, 3)).reshape(H, W, win_disp)
+    # Patch the invalid left-border triangle (match x-coordinate < 0).
+    off_rows = jnp.repeat(wstart_tiles.astype(jnp.int32), rows_per_tile)
+    xx = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+    dd = jnp.arange(win_disp, dtype=jnp.int32)[None, None, :] + off_rows[:, None, None]
+    return jnp.where(xx - dd >= 0, vol, jnp.uint8(max_cost))
+
+
+def _tri_dir_kernel_windowed(
+    off_ref, c_ref, out_ref, s_v, s_d1, s_d2, *, P1, P2, G, reverse
+):
+    """_tri_dir_kernel over a windowed volume.  One grid step processes one
+    window tile (G = tile_rows rows), so the window start is constant
+    inside a step and the carries need realigning (a dynamic lane roll,
+    with entries leaving the window reset to the 255 no-predecessor init)
+    exactly once per grid step — the G inner rows run at full speed."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        s_v[...] = jnp.full_like(s_v, 255)
+        s_d1[...] = jnp.full_like(s_d1, 255)
+        s_d2[...] = jnp.full_like(s_d2, 255)
+
+    B, Dw = s_v.shape
+    sh = -1 if reverse else 1
+
+    tile = (n - 1 - i) if reverse else i
+    prev_tile = jnp.clip(tile + (1 if reverse else -1), 0, n - 1)
+    delta = jnp.where(i == 0, 0, off_ref[tile] - off_ref[prev_tile])
+
+    @pl.when(delta != 0)
+    def _():
+        jj = jax.lax.broadcasted_iota(jnp.int32, (B, Dw), 1)
+        keep = (jj + delta >= 0) & (jj + delta < Dw)
+        for s in (s_v, s_d1, s_d2):
+            r = pltpu.roll(s[...].astype(jnp.int32), (-delta) % Dw, axis=1)
+            s[...] = jnp.where(keep, r, 255).astype(jnp.uint8)
+
+    for g0 in range(G):
+        g = G - 1 - g0 if reverse else g0
+        c32 = c_ref[g].astype(jnp.int32)
+        v = _step(s_v[...].astype(jnp.int32), c32, P1, P2)
+        s_v[...] = v.astype(jnp.uint8)
+        acc = v
+        d1 = _step(_roll_mask(s_d1[...].astype(jnp.int32), sh, B), c32, P1, P2)
+        s_d1[...] = d1.astype(jnp.uint8)
+        acc = acc + d1
+        d2 = _step(_roll_mask(s_d2[...].astype(jnp.int32), -sh, B), c32, P1, P2)
+        s_d2[...] = d2.astype(jnp.uint8)
+        out_ref[g] = (acc + d2).astype(jnp.int16)
+
+
+def _run_tri_dir_windowed(
+    cost: jnp.ndarray,
+    wstart_tiles: jnp.ndarray,
+    tile_rows: int,
+    P1: int,
+    P2: int,
+    reverse: bool,
+    interpret: bool = False,
+):
+    """cost: (H, W, Dw) windowed uint8 volume; wstart_tiles:
+    (H // tile_rows,) int32 per-tile window starts.  Returns the int16 sum
+    of the vertical + two diagonal directions of one walk."""
+    S, B, D = cost.shape
+    G = tile_rows
+    assert S % G == 0
+    n_blocks = S // G
+    kernel = functools.partial(
+        _tri_dir_kernel_windowed, P1=P1, P2=P2, G=G, reverse=reverse
+    )
+    blk = (G, B, D)
+    if reverse:
+        idx = lambda i, off: (n_blocks - 1 - i, 0, 0)
+    else:
+        idx = lambda i, off: (i, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(blk, idx)],
+        out_specs=pl.BlockSpec(blk, idx),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.uint8) for _ in range(3)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, B, D), jnp.int16),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(wstart_tiles.astype(jnp.int32), cost)
+
+
+def sgm_aggregate_pallas_windowed(
+    cost: jnp.ndarray,
+    wstart_tiles: jnp.ndarray,
+    P1: int,
+    P2: int,
+    directions: int = 8,
+    tile_rows: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """sgm_aggregate_pallas over a windowed (H, W, Dw) volume with
+    per-tile window starts wstart_tiles (H // tile_rows,).
+
+    Horizontal scans keep one window per slab row, so the plain pair
+    kernel applies unchanged; row-walking scans use the realigning
+    windowed tri-direction kernel.  directions=4 is folded into the
+    tri-direction walks (vertical realignment needs the windowed kernel),
+    so only 2/5/8 are offered."""
+    assert directions in (2, 5, 8)
+    c = cost if cost.dtype == jnp.uint8 else cost.astype(jnp.uint8)
+
+    cT = jnp.transpose(c, (1, 0, 2))
+    hf, hb = _run_pair(cT, P1, P2, interpret=interpret)
+    agg = (
+        jnp.transpose(hf, (1, 0, 2)).astype(jnp.int16)
+        + jnp.transpose(hb, (1, 0, 2)).astype(jnp.int16)
+    )
+    if directions == 2:
+        return agg
+    tf = _run_tri_dir_windowed(
+        c, wstart_tiles, tile_rows, P1, P2, reverse=False, interpret=interpret
+    )
+    if directions == 5:
+        return agg + tf
+    tb = _run_tri_dir_windowed(
+        c, wstart_tiles, tile_rows, P1, P2, reverse=True, interpret=interpret
+    )
+    return agg + tf + tb
