@@ -25,7 +25,175 @@ import numpy as np
 from pathlib import Path
 
 
+def _load_or_make_scene(W, H, seed, time_s=0.0, rig=None):
+    """Disk-cached ray-traced scene (the 3 MP render costs ~3 min host)."""
+    import numpy as np
+    from pathlib import Path
+
+    cache = Path(f"/tmp/wass_bench_scene_{W}x{H}_{seed}_{time_s:g}.npz")
+    from wass_tpu.testing.synthetic import SyntheticRig
+    from wass_tpu.testing import make_scene
+
+    if cache.exists():
+        z = np.load(cache)
+        rig = SyntheticRig(width=W, height=H, **{k: z[k] for k in ("K0", "K1", "R0", "T0", "R1", "T1")})
+        return z["img0"], z["img1"], z["points0"], rig
+    sc = make_scene(seed=seed, width=W, height=H, wave_amplitude=0.25, rig=rig, time=time_s)
+    rig = sc.rig
+    np.savez_compressed(
+        cache, img0=sc.img0, img1=sc.img1, points0=sc.points0,
+        K0=rig.K0, K1=rig.K1, R0=rig.R0, T0=rig.T0, R1=rig.R1, T1=rig.T1,
+    )
+    return sc.img0, sc.img1, sc.points0, rig
+
+
+def bench_e2e():
+    """End-to-end production throughput: PNG decode -> rectify -> dense ->
+    .xyzC export through SequencePipeline.stereo (the path a user runs),
+    vs the device-only headline number."""
+    import shutil
+    import numpy as np
+    from pathlib import Path
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from wass_tpu.cli.pipeline import SequenceConfig, SequencePipeline
+    from wass_tpu.stereo.dense import DenseStereoConfig
+
+    W, H, D = 2048, 1536, 256
+    n_frames = int(os.environ.get("WASS_BENCH_E2E_FRAMES", "12"))
+    img0, img1, _, rig = _load_or_make_scene(W, H, 7)
+
+    root = Path("/tmp/wass_bench_e2e")
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = SequenceConfig(
+        stereo=DenseStereoConfig(
+            num_disp=D, min_disp=1,
+            plane_ransac_threshold=0.1, plane_max_distance=0.3,
+        ),
+        debug_renders=False,  # renders are host jpeg work; measured separately
+    )
+    pipe = SequencePipeline(root, cfg)
+    print(f"# preparing {n_frames} frame workdirs...", file=sys.stderr)
+    pipe.prepare(
+        [(img0, img1)] * n_frames, rig.K0, np.zeros(5), rig.K1, np.zeros(5),
+        ext_R=rig.R, ext_T=rig.T,
+    )
+
+    print("# compiling + warm-up pass (2 frames)...", file=sys.stderr)
+    wds = pipe.workdirs()
+    t0 = time.time()
+    pipe.stereo(wds[:2])
+    print(f"# warm-up {time.time()-t0:.1f}s; timing {n_frames} frames...", file=sys.stderr)
+
+    t0 = time.time()
+    planes = pipe.stereo(wds)
+    dt = (time.time() - t0) / n_frames
+    n_ok = sum(1 for p in planes if np.all(np.isfinite(p)))
+    assert (wds[-1].path / "mesh_cam.xyzC").exists()
+    fps = 1.0 / dt
+    print(f"# e2e throughput {fps:.3f} frames/s (PNG->xyzC), {n_ok}/{n_frames} planes ok",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": f"e2e_png_to_xyzc_frames_per_s_{W}x{H}_D{D}",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps * 30.0, 2),
+    }))
+
+
+def bench_accuracy():
+    """Calibrated-pipeline accuracy: match -> autocalibrate (sequence BA)
+    -> stereo with the *recovered* extrinsics; elevation error vs ground
+    truth against the verify_meshes.m 0.02 gate (no GT extrinsics used)."""
+    import shutil
+    import numpy as np
+    from pathlib import Path
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from wass_tpu.cli.pipeline import SequenceConfig, SequencePipeline
+    from wass_tpu.match.pipeline import MatchConfig
+    from wass_tpu.stereo.dense import DenseStereoConfig
+    from wass_tpu.io.xyzc import load_camera_mesh
+    from wass_tpu.testing import make_rig, make_scene
+
+    W, H = int(os.environ.get("WASS_BENCH_ACC_W", "1536")), int(os.environ.get("WASS_BENCH_ACC_H", "1152"))
+    n_frames = int(os.environ.get("WASS_BENCH_ACC_FRAMES", "8"))
+    n_stereo = 2
+    D = 192
+
+    rng = np.random.default_rng(11)
+    rig = make_rig(width=W, height=H, rng=rng)
+    frames, gts = [], []
+    for i in range(n_frames):
+        print(f"# scene {i+1}/{n_frames}...", file=sys.stderr)
+        img0, img1, points0, rig = _load_or_make_scene(W, H, 900 + i, time_s=i * 0.2, rig=rig)
+        frames.append((img0, img1))
+        gts.append(points0)
+
+    root = Path("/tmp/wass_bench_acc")
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = SequenceConfig(
+        match=MatchConfig(num_features=2000, iidyn_iters=8000, max_rounds=12,
+                          hessian_threshold=3e-5, feature_grid_cell=8),
+        stereo=DenseStereoConfig(num_disp=D, min_disp=1,
+                                 plane_ransac_threshold=0.1, plane_max_distance=0.3),
+        debug_renders=False,
+    )
+    pipe = SequencePipeline(root, cfg)
+    pipe.prepare(frames, rig.K0, np.zeros(5), rig.K1, np.zeros(5))
+
+    t0 = time.time()
+    n_ok = pipe.match()
+    print(f"# matched {n_ok}/{n_frames} frames in {time.time()-t0:.1f}s", file=sys.stderr)
+    res = pipe.autocalibrate()
+    Tg = rig.T / np.linalg.norm(rig.T)
+    dR = float(np.abs(res.R - rig.R).max())
+    dT = float(np.abs(res.T.ravel() - Tg).max())
+    print(f"# autocalibrate: max|dR|={dR:.2e} (gate 5e-3), max|dT|={dT:.2e} (gate 2e-2)",
+          file=sys.stderr)
+
+    wds = pipe.workdirs()[:n_stereo]
+    pipe.stereo(wds)
+
+    errs = []
+    for i, wd in enumerate(wds):
+        mesh_cam = load_camera_mesh(wd.path / "mesh_cam.xyzC")  # (3, N)
+        plane = wd.load_plane()
+        # Ground-truth comparison in baseline units via the scene points.
+        uv = (rig.K0 @ mesh_cam).T
+        uv = uv[:, :2] / uv[:, 2:3]
+        xi = np.clip(np.round(uv[:, 0]).astype(int), 0, W - 1)
+        yi = np.clip(np.round(uv[:, 1]).astype(int), 0, H - 1)
+        gt = gts[i][yi, xi] / rig.baseline
+        err = np.abs(mesh_cam.T @ plane[:3] - gt @ plane[:3])
+        ae = np.sort(err[np.isfinite(err)])
+        trimmed = ae[: int(len(ae) * 0.999)]
+        errs.append(trimmed.mean())
+        print(f"# frame {i}: calibrated elevation err {trimmed.mean():.4f} "
+              f"({len(ae)} pts)", file=sys.stderr)
+
+    worst = float(np.max(errs))
+    print(json.dumps({
+        "metric": f"calibrated_elevation_err_{W}x{H}_{n_frames}f",
+        "value": round(worst, 4),
+        "unit": "baseline_units",
+        "vs_baseline": round(0.02 / worst, 2),
+    }))
+
+
 def main():
+    if os.environ.get("WASS_BENCH_E2E", "0") == "1":
+        return bench_e2e()
+    if os.environ.get("WASS_BENCH_ACCURACY", "0") == "1":
+        return bench_accuracy()
     small = os.environ.get("WASS_BENCH_SMALL", "0") == "1"
     if small:
         W, H, D = 512, 384, 64

@@ -24,10 +24,16 @@ import numpy as np
 @click.option("--area_size", type=float, default=50.0)
 @click.option("-N", "--grid_size", type=int, default=256)
 @click.option("--fps", type=float, default=1.0)
-@click.option("--algorithm", type=click.Choice(["DCT", "IDW"]), default="DCT")
+@click.option("--algorithm", "--ia", type=click.Choice(["DCT", "IDW", "LinearND"]), default="DCT")
 @click.option("--subsample", type=float, default=100.0, help="point subsample percentage")
 @click.option("-mf", "--medianfilter", type=int, default=0)
-def cli(workdir, outdir, action, baseline, gridsetup, area_center, area_size, grid_size, fps, algorithm, subsample, medianfilter):
+@click.option("--filter-outliers", is_flag=True, default=False,
+              help="local-plane outlier voting before gridding (filter_mesh_outliers)")
+@click.option("--force-zero-mean", is_flag=True, default=False,
+              help="chunked per-point temporal zero-mean rewrite after gridding")
+@click.option("--no-images", is_flag=True, default=False,
+              help="skip pushing JPEG cam frames into the cube")
+def cli(workdir, outdir, action, baseline, gridsetup, area_center, area_size, grid_size, fps, algorithm, subsample, medianfilter, filter_outliers, force_zero_mean, no_images):
     from wass_tpu.io.workdir import frame_workdirs
     from wass_tpu.grid.setup import grid_setup
     from wass_tpu.grid.gridding import GridConfig, grid_sequence
@@ -81,7 +87,11 @@ def cli(workdir, outdir, action, baseline, gridsetup, area_center, area_size, gr
         x_spacing=float(np.ravel(m["x_spacing"])[0]), y_spacing=float(np.ravel(m["y_spacing"])[0]),
         fps=float(np.ravel(m["fps"])[0]),
     )
-    cfg = GridConfig(algorithm=algorithm, subsample_percent=subsample, median_filter_size=medianfilter)
+    cfg = GridConfig(
+        algorithm=algorithm, subsample_percent=subsample,
+        median_filter_size=medianfilter, filter_outliers=filter_outliers,
+        force_zero_mean=force_zero_mean, save_images=not no_images,
+    )
     grid_sequence(wds, setup, out / "gridded.nc", cfg)
     click.echo(f"gridded {len(wds)} frames into {out/'gridded.nc'}")
 

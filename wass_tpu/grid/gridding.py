@@ -33,7 +33,7 @@ from wass_tpu.ops.morphology import median_filter
 
 @dataclasses.dataclass(frozen=True)
 class GridConfig:
-    algorithm: str = "DCT"  # DCT | IDW
+    algorithm: str = "DCT"  # DCT | IDW | LinearND (wassgridsurface.py:639)
     nreps: int = 10
     subsample_percent: float = 100.0
     median_filter_size: int = 0
@@ -41,6 +41,18 @@ class GridConfig:
     dct_iters: int = 500
     dct_alpha: float = 8e-7
     seed: int = 0
+    # Local-plane outlier voting before gridding (filter_mesh_outliers,
+    # wass_utils.py:72-163; its call-site is commented out in the
+    # reference, wassgridsurface.py:453-454 — off by default here too).
+    filter_outliers: bool = False
+    outlier_threshold: float = 0.2
+    # Chunked per-point zero-mean rewrite after gridding
+    # (wassgridsurface.py:543-576).
+    force_zero_mean: bool = False
+    # Which camera's undistorted frame is JPEG-pushed into the cube
+    # (wassgridsurface.py:494, image_id_to_save).
+    image_id_to_save: int = 0
+    save_images: bool = True
 
 
 @partial(jax.jit, static_argnames=("shape", "nreps", "n_use"))
@@ -76,6 +88,11 @@ def grid_frame(
     mesh_aligned[2, :] *= -1.0
     mesh_aligned = mesh_aligned * setup.baseline
 
+    if cfg.filter_outliers and mesh_aligned.shape[1]:
+        from wass_tpu.grid.outliers import filter_mesh_outliers
+
+        mesh_aligned = filter_mesh_outliers(mesh_aligned, cfg.outlier_threshold)
+
     H, W = setup.XX.shape
     sx = setup.xmax - setup.xmin
     sy = setup.ymax - setup.ymin
@@ -98,6 +115,21 @@ def grid_frame(
 
     if cfg.algorithm.upper() == "IDW":
         Zi, mask = idw_interpolate(Z)
+    elif cfg.algorithm.upper() == "LINEARND":
+        # Delaunay linear interpolation of the (subsampled) scattered
+        # points (wassgridsurface.py:437-480); host scipy — the scattered
+        # triangulation has no TPU-friendly shape and this path exists
+        # for reference parity.
+        from scipy.interpolate import LinearNDInterpolator
+
+        sel = np.flatnonzero(good)
+        rng = np.random.default_rng(cfg.seed)
+        rng.shuffle(sel)
+        sel = sel[: max(int(sel.size * cfg.subsample_percent / 100.0), 4)]
+        interp = LinearNDInterpolator(mesh_aligned[:2, sel].T, mesh_aligned[2, sel])
+        Zi = interp(np.c_[setup.XX.ravel(), setup.YY.ravel()]).reshape(H, W)
+        mask = np.isfinite(Zi).astype(np.float32)
+        Zi = np.nan_to_num(Zi)
     else:
         Zi, mask = dct_interpolate(
             Z, nfreqs=cfg.dct_nfreqs, max_iters=cfg.dct_iters, alpha=cfg.dct_alpha, seed=cfg.seed
@@ -137,10 +169,77 @@ def grid_sequence(
     writer.add_meta_attribute("fps", fps)
 
     Zs = []
+    zsum = None
+    zmins, zmaxs = [], []
     for i, wd in enumerate(workdirs):
         Z, mask = grid_frame(wd, setup, cfg)
         frame_idx = int(str(wd.path.name)[:-3]) if str(wd.path.name).endswith("_wd") else i
-        writer.push_Z(Z * 1000.0, time=i / fps, workdir=frame_idx)
+        image = imagemask = None
+        if cfg.save_images:
+            image, imagemask, dims = _load_frame_jpeg(wd, cfg.image_id_to_save)
+            if dims is not None:
+                writer.add_meta_attribute("image_width", dims[1])
+                writer.add_meta_attribute("image_height", dims[0])
+        writer.push_Z(
+            Z * 1000.0, time=i / fps, workdir=frame_idx,
+            image=image, imagemask=imagemask,
+        )
+        zsum = np.nan_to_num(Z) if zsum is None else zsum + np.nan_to_num(Z)
+        zmins.append(np.nanmin(Z))
+        zmaxs.append(np.nanmax(Z))
         Zs.append(Z)
+
+    # zmin/zmax/zmean provenance attributes (wassgridsurface.py:528-549).
+    if Zs:
+        zmin = float(np.nanmin(zmins))
+        zmax = float(np.nanmax(zmaxs))
+        if cfg.force_zero_mean:
+            writer.add_meta_attribute("zmin", zmin)
+            writer.add_meta_attribute("zmax", -zmin)
+            writer.add_meta_attribute("zmean", 0.0)
+        else:
+            writer.add_meta_attribute("zmin", zmin)
+            writer.add_meta_attribute("zmax", zmax)
     writer.close()
+
+    if cfg.force_zero_mean and Zs:
+        _force_zero_mean_chunked(out_path, (zsum / len(Zs) * 1000.0).astype(np.float32))
     return Zs
+
+
+def _load_frame_jpeg(wd: Workdir, cam: int):
+    """JPEG-encode the undistorted frame for the cube's cam0images
+    variable (+ raw mask bytes when undistorted/maskN.png exists —
+    wassgridsurface.py:494-513)."""
+    try:
+        from wass_tpu import native
+
+        img = wd.load_undistorted(cam)
+        if native.available():
+            data = native.jpeg_encode_gray(img)
+        else:
+            import io
+
+            import imageio.v3 as iio
+
+            buf = io.BytesIO()
+            iio.imwrite(buf, np.clip(img, 0, 255).astype(np.uint8), extension=".jpg")
+            data = buf.getvalue()
+        maskfile = wd.path / "undistorted" / f"mask{cam}.png"
+        imagemask = maskfile.read_bytes() if maskfile.exists() else None
+        return data, imagemask, img.shape
+    except Exception:
+        return None, None, None
+
+
+def _force_zero_mean_chunked(ncfile, mean_mm: np.ndarray) -> None:
+    """Per-point temporal zero-mean as a chunked in-place rewrite
+    (wassgridsurface.py:543-576: one h5py chunk read/subtract/write at a
+    time — never the whole cube)."""
+    import h5py
+
+    meanT = mean_mm.T  # cube is stored (count, N=X, M=Y) = Z.T per frame
+    with h5py.File(ncfile, "r+") as f:
+        zv = f["Z"]
+        for sl in zv.iter_chunks():
+            zv[sl] = zv[sl] - meanT[sl[1], sl[2]]

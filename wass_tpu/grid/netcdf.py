@@ -61,6 +61,20 @@ class NetCDFWriter:
         self.cam0images = f.create_dataset("cam0images", (0,), dtype=vlen, chunks=(64,), maxshape=(None,))
         self.cam0masks = f.create_dataset("cam0masks", (0,), dtype=vlen, chunks=(64,), maxshape=(None,))
 
+        # netCDF-4 dimension wiring: `count` is the unlimited record
+        # dimension; every variable attaches its dimension scales so
+        # netCDF4-convention readers see (count, X, Y) instead of
+        # phony dims (reference schema: netcdfoutput.py:40-101).
+        self.count_ds.make_scale("count")
+        for ds2d in (self.xgrid, self.ygrid, self.kx, self.ky, self.maskZ):
+            ds2d.dims[0].attach_scale(self.dimX)
+            ds2d.dims[1].attach_scale(self.dimY)
+        self.Z.dims[0].attach_scale(self.count_ds)
+        self.Z.dims[1].attach_scale(self.dimX)
+        self.Z.dims[2].attach_scale(self.dimY)
+        for ds1d in (self.time_ds, self.workdir_ds, self.cam0images, self.cam0masks):
+            ds1d.dims[0].attach_scale(self.count_ds)
+
         for name, units, long_name in [
             ("scale", "meter", "scale"),
             ("count", "steps", "count"),

@@ -80,14 +80,27 @@ def _pair_kernel(cf_ref, cb_ref, of_ref, ob_ref, fwd, bwd, *, P1, P2, shift, G):
     bwd[...] = b
 
 
+def _pick_G(S: int, B: int, D: int, n_block_bytes: int, budget: int = 72 * 1024 * 1024) -> int:
+    """Scan steps per grid iteration: the sequential grid pays a fixed
+    per-step sequencing/DMA cost, so amortize it over the largest G whose
+    double-buffered blocks (+ scratch and _step int32 temps) fit VMEM."""
+    fixed = 10 * B * D * 4  # carries + _step temporaries (int32)
+    # G caps at 8: the kernel body unrolls G scan steps, and the remote
+    # Mosaic compile time grows superlinearly with the unroll (G=16
+    # exceeded a 10-minute compile budget at 3 MP).
+    for G in (8, 4, 2, 1):
+        if S % G == 0 and 2 * G * B * D * n_block_bytes + fixed <= budget:
+            return G
+    return 1
+
+
 def _run_pair(cost: jnp.ndarray, P1: int, P2: int, shift: int = 0, interpret: bool = False):
     """cost: (S, B, D) uint8 -> (ys_fwd, ys_bwd) uint8, forward walking
     0..S-1 and backward walking S-1..0 (outputs stored at their true
     positions, so ys_bwd needs no flip)."""
     S, B, D = cost.shape
-    # Steps per grid iteration, bounded by the 16 MB VMEM budget:
-    # blocks + int32 scratch + _step temps scale with G * B * D.
-    G = 2 if (S % 2 == 0 and B * D <= 1600 * 256) else 1
+    # 2 input + 2 output uint8 blocks per step.
+    G = _pick_G(S, B, D, 4)
     kernel = functools.partial(_pair_kernel, P1=P1, P2=P2, shift=shift, G=G)
     out_shape = [
         jax.ShapeDtypeStruct((S, B, D), jnp.uint8),
@@ -112,6 +125,7 @@ def _run_pair(cost: jnp.ndarray, P1: int, P2: int, shift: int = 0, interpret: bo
             pltpu.VMEM((B, D), jnp.int32),
             pltpu.VMEM((B, D), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(cost, cost)
 
@@ -166,7 +180,8 @@ def _run_tri_dir(cost: jnp.ndarray, P1: int, P2: int, reverse: bool, interpret: 
     """cost: (S, B, D) uint8 -> int16 sum of the vertical + two diagonal
     directions walking forward (reverse=False) or backward."""
     S, B, D = cost.shape
-    G = 2 if (S % 2 == 0 and B * D <= 2048 * 256) else 1
+    # 1 uint8 input + 1 int16 output block per step.
+    G = _pick_G(S, B, D, 3)
     n_blocks = S // G
     kernel = functools.partial(_tri_dir_kernel, P1=P1, P2=P2, G=G, reverse=reverse)
     blk = (G, B, D)
@@ -181,7 +196,7 @@ def _run_tri_dir(cost: jnp.ndarray, P1: int, P2: int, reverse: bool, interpret: 
         out_specs=pl.BlockSpec(blk, idx),
         out_shape=jax.ShapeDtypeStruct((S, B, D), jnp.int16),
         scratch_shapes=[pltpu.VMEM((B, D), jnp.uint8) for _ in range(3)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(cost)
 
