@@ -1,0 +1,146 @@
+"""Robustness study: matcher + dense stereo under degraded imagery.
+
+The reference ships a JPEG-compression robustness experiment for the
+dense stage (/root/reference/test/jpeg_compression_test.m:31-40, quality
+sweep 100..70) and chose KAZE features for low-texture water
+(/root/reference/src/wass_match/FeatureSet.cpp:199).  This script runs
+the equivalent sweep on a synthetic ground-truth scene for BOTH stages:
+
+  matcher: n_matches (gate >= 400 at full res, verify_matcher.m:5,18),
+           avg epipolar error (<= 0.5 px), pose recovery vs GT;
+  dense:   trimmed-mean plane-aligned elevation error (gate < 0.02
+           baseline units, verify_meshes.m:26-30).
+
+Degradations: JPEG quality sweep, additive Gaussian sensor noise,
+specular saturation blobs (burned highlights).  Prints a markdown table
+for docs/quality.md.
+
+Run on TPU:   python bench/robustness.py
+Matcher-only: WASS_ROBUST_MATCH_ONLY=1 python bench/robustness.py
+"""
+import io
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def jpeg_roundtrip(img: np.ndarray, quality: int) -> np.ndarray:
+    import imageio.v3 as iio
+
+    buf = io.BytesIO()
+    iio.imwrite(buf, np.clip(img, 0, 255).astype(np.uint8), extension=".jpg",
+                quality=quality)
+    return iio.imread(buf.getvalue()).astype(np.float64)
+
+
+def add_noise(img: np.ndarray, sigma: float, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return np.clip(img + rng.standard_normal(img.shape) * sigma, 0, 255)
+
+
+def add_specular(img: np.ndarray, n_blobs: int, seed: int) -> np.ndarray:
+    """Saturated sun-glint blobs: gaussian bumps pushed to 255."""
+    rng = np.random.default_rng(seed)
+    H, W = img.shape
+    out = img.copy()
+    yy, xx = np.mgrid[0:H, 0:W]
+    for _ in range(n_blobs):
+        cy, cx = rng.uniform(0.2 * H, 0.9 * H), rng.uniform(0.1 * W, 0.9 * W)
+        r = rng.uniform(3, 12)
+        mask = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
+        out[mask] = 255.0
+    return out
+
+
+DEGRADATIONS = [
+    ("clean", lambda i0, i1: (i0, i1)),
+    ("jpeg q95", lambda i0, i1: (jpeg_roundtrip(i0, 95), jpeg_roundtrip(i1, 95))),
+    ("jpeg q90", lambda i0, i1: (jpeg_roundtrip(i0, 90), jpeg_roundtrip(i1, 90))),
+    ("jpeg q80", lambda i0, i1: (jpeg_roundtrip(i0, 80), jpeg_roundtrip(i1, 80))),
+    ("jpeg q70", lambda i0, i1: (jpeg_roundtrip(i0, 70), jpeg_roundtrip(i1, 70))),
+    ("noise s=3", lambda i0, i1: (add_noise(i0, 3, 1), add_noise(i1, 3, 2))),
+    ("noise s=8", lambda i0, i1: (add_noise(i0, 8, 1), add_noise(i1, 8, 2))),
+    ("specular x20", lambda i0, i1: (add_specular(i0, 20, 3), add_specular(i1, 20, 4))),
+]
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from wass_tpu.match.pipeline import MatchConfig, match_frame
+    from wass_tpu.stereo.dense import DenseStereoConfig, dense_stereo_frame
+    from wass_tpu.testing import make_scene
+
+    W, H = 1024, 768
+    match_only = os.environ.get("WASS_ROBUST_MATCH_ONLY", "0") == "1"
+
+    cache = f"/tmp/wass_robust_scene_{W}x{H}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        from wass_tpu.testing.synthetic import SyntheticRig
+
+        rig = SyntheticRig(width=W, height=H, **{k: z[k] for k in ("K0", "K1", "R0", "T0", "R1", "T1")})
+        img0, img1, points0 = z["img0"], z["img1"], z["points0"]
+    else:
+        sc = make_scene(seed=17, width=W, height=H, wave_amplitude=0.25)
+        rig = sc.rig
+        img0, img1, points0 = sc.img0, sc.img1, sc.points0
+        np.savez_compressed(cache, img0=img0, img1=img1, points0=points0,
+                            K0=rig.K0, K1=rig.K1, R0=rig.R0, T0=rig.T0,
+                            R1=rig.R1, T1=rig.T1)
+
+    mcfg = MatchConfig(num_features=2000, iidyn_iters=12000, max_rounds=12,
+                       hessian_threshold=3e-5, feature_grid_cell=8)
+    scfg = DenseStereoConfig(num_disp=192, min_disp=1,
+                             plane_ransac_threshold=0.1, plane_max_distance=0.3)
+    Tg = rig.T / np.linalg.norm(rig.T)
+
+    rows = []
+    for name, fn in DEGRADATIONS:
+        d0, d1 = fn(img0.astype(np.float64), img1.astype(np.float64))
+        t0 = time.time()
+        res = match_frame(d0, d1, rig.K0, rig.K1, mcfg)
+        if res is None:
+            rows.append((name, 0, float("nan"), float("nan"), float("nan"), float("nan")))
+            print(f"# {name}: MATCH FAILED", file=sys.stderr)
+            continue
+        dR = float(np.abs(res.R - rig.R).max())
+        dT = float(np.abs(res.T.ravel() - Tg).max())
+        derr = float("nan")
+        if not match_only:
+            out, _geom = dense_stereo_frame(
+                d0.astype(np.float32), d1.astype(np.float32),
+                rig.K0, rig.K1, rig.R, rig.T, scfg,
+            )
+            valid = np.asarray(out.valid)
+            pts = np.asarray(out.points)[valid]
+            plane = np.asarray(out.plane, np.float64)
+            if np.all(np.isfinite(plane)) and len(pts):
+                uv = pts @ np.asarray(rig.K0).T
+                uv = uv[:, :2] / uv[:, 2:3]
+                xi = np.clip(uv[:, 0].astype(int), 0, W - 1)
+                yi = np.clip(uv[:, 1].astype(int), 0, H - 1)
+                gt = points0[yi, xi] / rig.baseline
+                err = np.abs((pts @ plane[:3]) - (gt @ plane[:3]))
+                ae = np.sort(err[np.isfinite(err)])
+                derr = float(ae[: int(len(ae) * 0.999)].mean())
+        rows.append((name, res.n_matches, res.epi_avg, dR, dT, derr))
+        print(f"# {name}: {res.n_matches} matches, epi {res.epi_avg:.3f} px, "
+              f"dR {dR:.2e}, dT {dT:.2e}, dense err {derr:.4f} "
+              f"({time.time()-t0:.1f}s)", file=sys.stderr)
+
+    print("\n| Degradation | matches (gate >=400) | epi err px (<=0.5) | max|dR| (<=5e-3) | max|dT| (<=2e-2) | dense elev err (<0.02) |")
+    print("|---|---|---|---|---|---|")
+    for name, n, epi, dR, dT, derr in rows:
+        print(f"| {name} | {n} | {epi:.3f} | {dR:.1e} | {dT:.1e} | {derr:.4f} |")
+
+
+if __name__ == "__main__":
+    main()

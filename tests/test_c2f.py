@@ -116,22 +116,64 @@ def test_compute_row_windows_fallbacks():
     factor, D, Dw = 4, 64, 16
     disp_c = np.zeros((Hc, Wc), np.float32)
     disp_c[4:8, :] = 3.0  # rows 4-7 see coarse disparity 3 => full-res 12
-    ws, cov = compute_row_windows(
+    ws, cov, offb = compute_row_windows(
         jnp.asarray(disp_c), factor, D, min_disp=1, win_disp=Dw
     )
     ws = np.asarray(ws)
     assert ws.shape == (Hc * factor // TILE_ROWS,)
     assert float(cov) == 1.0
+    assert float(offb) == 0.0
     assert np.all(ws >= 1) and np.all(ws <= 1 + D - Dw)
     # Tiles covering coarse rows 4-7 center the window on 12.
     covered = ws[[2, 3]]  # full rows 16..31 <- coarse rows 4..7
     assert np.all(np.abs(covered + Dw // 2 - 12) <= 1)
     # All-invalid map: global fallback still yields in-range windows.
-    ws2, _ = compute_row_windows(
+    ws2, _, _ = compute_row_windows(
         jnp.zeros((Hc, Wc)), factor, D, min_disp=1, win_disp=Dw
     )
     ws2 = np.asarray(ws2)
     assert np.all(ws2 >= 1) and np.all(ws2 <= 1 + D - Dw)
+
+
+def test_offband_object_triggers_fallback():
+    """Adversarial case (VERDICT r2 item 2): a compact object (buoy/boat
+    patch) at a disparity far outside its row's band must raise the
+    coherent off-band metric and trip the production fallback decision,
+    while scattered single-pixel junk must not."""
+    from wass_tpu.stereo.dense import DenseStereoConfig, c2f_should_fallback
+
+    Hc, Wc = 32, 40
+    factor, D, Dw = 4, 64, 16
+    rng = np.random.default_rng(0)
+    base = 8.0 + 0.5 * rng.standard_normal((Hc, Wc))  # tight row band
+    cfg = DenseStereoConfig(num_disp=D, c2f_window=Dw, c2f_factor=factor)
+
+    # 1. Clean scene: no fallback.
+    _, cov, offb = compute_row_windows(
+        jnp.asarray(base, jnp.float32), factor, D, min_disp=1, win_disp=Dw
+    )
+    assert not c2f_should_fallback(float(cov), float(offb), cfg)
+
+    # 2. Scattered junk (isolated wrong matches, ~2% of pixels): erosion
+    # kills it -> still no fallback.
+    junk = base.copy()
+    ys = rng.integers(0, Hc, 25)
+    xs = rng.integers(0, Wc, 25)
+    junk[ys, xs] = 14.9  # full-res 59.6, far outside any Dw=16 window
+    _, cov_j, offb_j = compute_row_windows(
+        jnp.asarray(junk, jnp.float32), factor, D, min_disp=1, win_disp=Dw
+    )
+    assert float(offb_j) <= float(cfg.c2f_max_offband)
+    assert not c2f_should_fallback(float(cov_j), float(offb_j), cfg)
+
+    # 3. A coherent object patch at an off-band disparity: fallback.
+    buoy = base.copy()
+    buoy[10:14, 20:25] = 14.9
+    _, cov_b, offb_b = compute_row_windows(
+        jnp.asarray(buoy, jnp.float32), factor, D, min_disp=1, win_disp=Dw
+    )
+    assert float(offb_b) > float(cfg.c2f_max_offband)
+    assert c2f_should_fallback(float(cov_b), float(offb_b), cfg)
 
 
 def test_c2f_disparity_end_to_end(rng):

@@ -139,3 +139,64 @@ def test_grid_sequence_linearnd_and_outliers(tmp_path, rng):
         assert np.isfinite(inner).all()
         # Aligned z flips sign: surface at z=10 -> -10.
         assert abs(np.nanmedian(inner) + 10.0) < 0.3
+
+
+def test_grid_sequence_streaming_mask_and_stats(tmp_path, rng):
+    """grid_sequence streams frames (returns GridStats, not per-frame
+    grids), honors a user grid mask (reference --mask), writes maskZ into
+    the cube, and emits the frame-0 diagnostics."""
+    from wass_tpu.grid.gridding import GridConfig, GridStats, grid_sequence
+    from wass_tpu.grid.setup import GridSetup
+    from wass_tpu.io.xyzc import save_xyz_compressed
+    from wass_tpu.io.workdir import Workdir
+
+    wds = []
+    for i in range(3):
+        wd = Workdir(tmp_path / f"{i:06d}_wd").create()
+        n = 2500
+        pts = np.c_[
+            rng.uniform(-4, 4, n), rng.uniform(-4, 4, n),
+            10.0 + 0.1 * i + 0.03 * rng.standard_normal(n),
+        ]
+        save_xyz_compressed(wd.path / "mesh_cam.xyzC", pts, np.eye(3), np.zeros(3))
+        wds.append(wd)
+
+    H = W = 16
+    XX, YY = np.meshgrid(np.linspace(-3, 3, W), np.linspace(-3, 3, H))
+    setup = GridSetup.__new__(GridSetup)
+    setup.Rpl = np.eye(3)
+    setup.Tpl = np.zeros((3, 1))
+    setup.baseline = 1.0
+    setup.XX, setup.YY = XX, YY
+    setup.xmin, setup.xmax = -3.0, 3.0
+    setup.ymin, setup.ymax = -3.0, 3.0
+    setup.KX_ab = XX
+    setup.KY_ab = YY
+    setup.K0 = setup.K1 = np.eye(3)
+    setup.P0plane = setup.P1plane = np.eye(4)[:3]
+    setup.P0cam = setup.P1cam = np.eye(4)
+    setup.Cam0toGrid = setup.Cam1toGrid = np.eye(4)
+    setup.fps = 2.0
+
+    user_mask = np.ones((H, W), np.float32)
+    user_mask[:, :4] = 0.0  # exclude a stripe
+
+    out = tmp_path / "gridded.nc"
+    stats = grid_sequence(
+        wds, setup, out, GridConfig(algorithm="IDW", save_images=False),
+        user_mask=user_mask, diag_dir=tmp_path / "diag",
+    )
+    assert isinstance(stats, GridStats)
+    assert stats.n_frames == 3
+    assert stats.zmean.shape == (H, W)
+    assert np.isfinite(stats.zmin) and stats.zmax >= stats.zmin
+
+    with h5py.File(out) as f:
+        assert f["Z"].shape[0] == 3
+        # maskZ stored in (N=X, M=Y) storage order like the reference cube.
+        m = f["maskZ"][...]
+        np.testing.assert_array_equal(m, user_mask.T)
+        Z0 = f["Z"][0]  # (N, M): columns are grid x
+        assert np.isnan(Z0[:4, :]).all()  # masked stripe excluded
+        assert np.isfinite(Z0[6:-2, 2:-2]).all()
+    assert (tmp_path / "diag" / "grid_img.png").exists()

@@ -157,6 +157,31 @@ class TestGeometry:
         assert occ[:, 15:20].mean() > 0.8
         assert occ[:, :3].mean() < 0.2
 
+    def test_visibility_batch_matches_per_frame(self):
+        """The batched slab path must agree with the per-frame reference
+        formulation (occlusion exactly; incidence to float tolerance)."""
+        from wass_tpu.post.geometry import compute_visibility_batch
+
+        rng = np.random.default_rng(3)
+        H, W, B = 24, 20, 3
+        dx = 0.5
+        XX, YY = np.meshgrid(np.arange(W) * dx, np.arange(H) * dx)
+        ZZ = 0.4 * np.sin(XX * 1.3) * np.cos(YY * 0.9)
+        slab = np.stack([ZZ + 0.1 * k for k in range(B)])
+        C = np.array([W * dx / 2, -3.0, 8.0])
+
+        occ_b, inc_b = compute_visibility_batch(slab, XX, YY, C, dx)
+        for k in range(B):
+            zz = slab[k]
+            rays = np.dstack([C[0] - XX, C[1] - YY, np.maximum(C[2] - zz, 1e-3)])
+            rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+            _, normals = compute_slope_and_normals(XX, YY, zz)
+            inc = np.degrees(np.arccos(np.clip(np.sum(normals * rays, -1), -1, 1)))
+            occ = compute_occlusion_mask(zz / dx, rays)
+            occ[inc >= 88.0] = 1
+            np.testing.assert_array_equal(occ_b[k], occ)
+            np.testing.assert_allclose(inc_b[k], inc, atol=2e-2)
+
 
 class TestRadiance:
     def test_vats_threshold_separates_modes(self, rng):

@@ -59,6 +59,53 @@ class TestDistributedBA:
         assert m.sum() == 13
 
 
+class TestShardedRunner:
+    def test_sharded_matches_single_device(self, rng):
+        """One shard_map step over 8 virtual devices must reproduce the
+        single-device pipeline per frame (plane + point count) and return
+        the rectified images for the debug artifact set."""
+        from wass_tpu.ops.sampling import warp_homography
+        from wass_tpu.parallel.runner import ShardedDenseRunner
+        from wass_tpu.stereo.dense import (
+            DenseStereoConfig, build_geom_pack, dense_stereo_device,
+            prepare_frame_geometry,
+        )
+        from wass_tpu.testing import make_scene
+
+        h, w, F = 64, 96, 8
+        sc = make_scene(seed=3, width=w, height=h, wave_amplitude=0.25)
+        rig = sc.rig
+        cfg = DenseStereoConfig(
+            num_disp=16, min_disp=1, plane_ransac_rounds=64,
+            plane_ransac_threshold=0.1, plane_max_distance=0.3,
+        )
+        geom = prepare_frame_geometry(rig.K0, rig.K1, rig.R, rig.T, (w, h))
+        gp = build_geom_pack(geom, (h, w))
+        b_img, m_img = (sc.img0, sc.img1) if geom.base_is_cam0 else (sc.img1, sc.img0)
+        stack = lambda x: np.broadcast_to(np.asarray(x, np.float32), (F, h, w)).copy()
+
+        runner = ShardedDenseRunner(make_frame_mesh(F), cfg)
+        res, rects, info, mean_plane = runner.run_batch(
+            stack(b_img), stack(m_img), [gp] * F
+        )
+        assert np.asarray(rects[0]).shape == (F, h, w)
+        assert info["fallback_frames"] == []
+
+        b1 = jnp.asarray(b_img, jnp.float32)
+        m1 = jnp.asarray(m_img, jnp.float32)
+        br = warp_homography(b1, gp["H_base"], (h, w))
+        mr = warp_homography(m1, gp["H_match"], (h, w))
+        one = dense_stereo_device(br, mr, b1, m1, gp, cfg)
+        for k in range(F):
+            np.testing.assert_allclose(
+                np.asarray(res.plane)[k], np.asarray(one.plane), atol=5e-4
+            )
+            assert abs(int(np.asarray(res.n_points)[k]) - int(one.n_points)) <= 16
+        np.testing.assert_allclose(
+            np.asarray(mean_plane), np.asarray(one.plane), atol=5e-4
+        )
+
+
 class TestFrameSharding:
     def test_sharded_batch_reduction(self):
         mesh = make_frame_mesh(8)

@@ -33,7 +33,10 @@ import numpy as np
               help="chunked per-point temporal zero-mean rewrite after gridding")
 @click.option("--no-images", is_flag=True, default=False,
               help="skip pushing JPEG cam frames into the cube")
-def cli(workdir, outdir, action, baseline, gridsetup, area_center, area_size, grid_size, fps, algorithm, subsample, medianfilter, filter_outliers, force_zero_mean, no_images):
+@click.option("--mask", "mask_file", type=click.Path(exists=True), default=None,
+              help="user grid mask: grayscale image of the grid size; zero pixels are "
+                   "excluded from every frame (reference --mask, wassgridsurface.py:640)")
+def cli(workdir, outdir, action, baseline, gridsetup, area_center, area_size, grid_size, fps, algorithm, subsample, medianfilter, filter_outliers, force_zero_mean, no_images, mask_file):
     from wass_tpu.io.workdir import frame_workdirs
     from wass_tpu.grid.setup import grid_setup
     from wass_tpu.grid.gridding import GridConfig, grid_sequence
@@ -92,7 +95,19 @@ def cli(workdir, outdir, action, baseline, gridsetup, area_center, area_size, gr
         median_filter_size=medianfilter, filter_outliers=filter_outliers,
         force_zero_mean=force_zero_mean, save_images=not no_images,
     )
-    grid_sequence(wds, setup, out / "gridded.nc", cfg)
+    user_mask = None
+    if mask_file is not None:
+        import imageio.v3 as iio
+
+        user_mask = (np.asarray(iio.imread(mask_file)) > 0).astype(np.float32)
+        if user_mask.ndim == 3:
+            user_mask = user_mask[..., 0]
+        if user_mask.shape != setup.XX.shape:
+            raise click.ClickException(
+                f"--mask shape {user_mask.shape} != grid {setup.XX.shape}"
+            )
+    grid_sequence(wds, setup, out / "gridded.nc", cfg, user_mask=user_mask,
+                  diag_dir=out)
     click.echo(f"gridded {len(wds)} frames into {out/'gridded.nc'}")
 
 

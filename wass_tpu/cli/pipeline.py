@@ -156,6 +156,14 @@ class SequencePipeline:
             for k, v in dataclasses.asdict(self.cfg.stereo).items():
                 f.write(f"{k.upper()}={v}\n")
 
+        c2f = extras.get("c2f")
+        if c2f is not None:
+            log_lines.append(
+                f"c2f window coverage: {c2f['coverage']:.4f} "
+                f"coherent-offband: {c2f['offband']:.5f} "
+                + ("FALLBACK to full-range SGM" if c2f["fallback"] else "windowed")
+            )
+
         n_points = int(res.n_points)  # syncs this frame only
         log_lines.append(f"triangulated+filtered points: {n_points}")
 
@@ -344,7 +352,10 @@ class SequencePipeline:
                 match_rect = rectify_on_device(m, geom.H_match, (H, W))
                 res = pipe(base_rect, match_rect, b, m, gp)
 
-                extras = {"rect": (base_rect, match_rect), "imgs": (b_img, m_img)}
+                extras = {
+                    "rect": (base_rect, match_rect), "imgs": (b_img, m_img),
+                    "c2f": pipe.last_c2f,
+                }
                 fut = writers.submit(
                     self._finalize_stereo_frame, wd, geom, res, K0, K1, extras
                 )
@@ -368,47 +379,120 @@ class SequencePipeline:
     def _stereo_sharded(self, wds) -> List[np.ndarray]:
         """Frame-sharded batches over all devices (ICI data parallelism over
         frames — the wasscli 4-worker thread pool equivalent,
-        wasscli.py:277,346)."""
+        wasscli.py:277,346).
+
+        Same production standard as _stereo_pipelined: native PNG prefetch
+        overlaps the next batch's host loads with device compute, frame
+        finalization runs in writer threads, the rectified images come
+        back from the device so the full debug artifact set (stereo.jpg,
+        coverage) is emitted, and per-frame c2f window diagnostics are
+        logged (off-band frames are re-run full-range inside the runner).
+        Fixed-rig sequences rectify host-side with the static-H two-pass
+        warp (the in-graph gather warp only engages for drifting rigs).
+        Ragged tails are padded with the last frame — the pad slots waste
+        (n_dev - r) device slots on ONE batch per sequence, which is
+        cheaper than compiling a second, smaller SPMD program."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         import jax
 
+        from wass_tpu import native
         from wass_tpu.parallel.mesh import make_frame_mesh
         from wass_tpu.parallel.runner import ShardedDenseRunner
 
         n_dev = len(jax.devices())
         mesh = make_frame_mesh(n_dev)
         runner = ShardedDenseRunner(mesh, self.cfg.stereo)
-        planes: List[np.ndarray] = []
+        planes: List[np.ndarray] = [None] * len(wds)
         geom_cache: dict = {}
-        for s in range(0, len(wds), n_dev):
-            group = wds[s : s + n_dev]
-            imgs, geoms, packs = [], [], []
-            for wd in group:
-                img0 = wd.load_undistorted(0)
-                img1 = wd.load_undistorted(1)
-                K0, K1 = wd.load_intrinsics(0), wd.load_intrinsics(1)
-                R, T = wd.load_extrinsics()
-                geom, gp = self._frame_geometry(geom_cache, K0, K1, R, T, img0.shape)
-                b_img, m_img = (img0, img1) if geom.base_is_cam0 else (img1, img0)
-                imgs.append((b_img.astype(np.float32), m_img.astype(np.float32)))
-                geoms.append((geom, K0, K1))
-                packs.append(gp)
-            while len(imgs) < n_dev:  # ragged tail: repeat the last frame
-                imgs.append(imgs[-1])
-                packs.append(packs[-1])
-            res, _mean_plane = runner.run_batch(
-                np.stack([b for b, _ in imgs]),
-                np.stack([m for _, m in imgs]),
-                packs,
-            )
-            for k, wd in enumerate(group):
-                one = type(res)(*(np.asarray(leaf[k]) for leaf in res))
-                geom, K0, K1 = geoms[k]
-                # Rectified images stay in-graph in the sharded path, so
-                # the rectification-check renders are skipped.
-                extras = {"imgs": imgs[k]}
-                planes.append(
-                    self._finalize_stereo_frame(wd, geom, one, K0, K1, extras)
+        writers = ThreadPoolExecutor(max_workers=max(1, self.cfg.writer_threads))
+        prefetcher = native.Prefetcher(2 * n_dev) if native.available() else None
+        tickets: dict = {}
+
+        def submit(i):
+            if prefetcher is not None and 0 <= i < len(wds) and i not in tickets:
+                tickets[i] = (
+                    prefetcher.submit(wds[i].undistorted_path(0)),
+                    prefetcher.submit(wds[i].undistorted_path(1)),
                 )
+
+        def load(i):
+            if prefetcher is not None:
+                t0, t1 = tickets.pop(i)
+                return prefetcher.take(t0), prefetcher.take(t1)
+            return wds[i].load_undistorted(0), wds[i].load_undistorted(1)
+
+        inflight = deque()
+        try:
+            for i in range(min(2 * n_dev, len(wds))):
+                submit(i)
+            for s in range(0, len(wds), n_dev):
+                group = wds[s : s + n_dev]
+                imgs, geoms, packs = [], [], []
+                for j, wd in enumerate(group):
+                    img0, img1 = load(s + j)
+                    submit(s + n_dev + j)
+                    K0, K1 = wd.load_intrinsics(0), wd.load_intrinsics(1)
+                    R, T = wd.load_extrinsics()
+                    geom, gp = self._frame_geometry(geom_cache, K0, K1, R, T, img0.shape)
+                    b_img, m_img = (img0, img1) if geom.base_is_cam0 else (img1, img0)
+                    imgs.append((b_img.astype(np.float32), m_img.astype(np.float32)))
+                    geoms.append((geom, K0, K1))
+                    packs.append(gp)
+                while len(imgs) < n_dev:  # ragged tail: repeat the last frame
+                    imgs.append(imgs[-1])
+                    packs.append(packs[-1])
+
+                # Fixed rig across the batch: rectify host-side with the
+                # cached static-H two-pass warp, per frame, before sharding.
+                fixed_rig = all(g is geoms[0][0] for g, _, _ in geoms)
+                if fixed_rig:
+                    geom0 = geoms[0][0]
+                    H, W = imgs[0][0].shape
+                    bb = np.stack([
+                        np.asarray(rectify_on_device(b, geom0.H_base, (H, W)))
+                        for b, _ in imgs
+                    ])
+                    mb = np.stack([
+                        np.asarray(rectify_on_device(m, geom0.H_match, (H, W)))
+                        for _, m in imgs
+                    ])
+                else:
+                    bb = np.stack([b for b, _ in imgs])
+                    mb = np.stack([m for _, m in imgs])
+                res, rects, info, _mean_plane = runner.run_batch(
+                    bb, mb, packs, rectified=fixed_rig
+                )
+                for k, wd in enumerate(group):
+                    one = type(res)(*(np.asarray(leaf[k]) for leaf in res))
+                    geom, K0, K1 = geoms[k]
+                    extras = {
+                        "imgs": imgs[k],
+                        "rect": (np.asarray(rects[0][k]), np.asarray(rects[1][k])),
+                    }
+                    if info["coverage"] is not None:
+                        extras["c2f"] = {
+                            "coverage": float(info["coverage"][k]),
+                            "offband": float(info["offband"][k]),
+                            "fallback": k in info["fallback_frames"],
+                        }
+                    inflight.append((
+                        s + k,
+                        writers.submit(
+                            self._finalize_stereo_frame, wd, geom, one, K0, K1, extras
+                        ),
+                    ))
+                while len(inflight) > n_dev:
+                    j, f = inflight.popleft()
+                    planes[j] = f.result()
+            while inflight:
+                j, f = inflight.popleft()
+                planes[j] = f.result()
+        finally:
+            writers.shutdown(wait=True)
+            if prefetcher is not None:
+                prefetcher.close()
         return planes
 
     def _write_sequence_outputs(self, wds, planes) -> None:

@@ -200,12 +200,12 @@ def clip(ncfile, variable, zmin, zmax):
               help="also write per-frame occlusion PNGs here")
 def visibilitymap(ncfile, cam, numframes, outputdir):
     """Occlusion masks + incidence angles toward camera N for the whole
-    sequence (wasspost `visibilitymap`, wasspost.py:502-621): streams
-    frame batches, writes /occlusion_camN (u1) and /incident_angles_camN
-    (f4); points with incidence >= 88 deg count as occluded."""
-    from wass_tpu.post.geometry import (
-        compute_occlusion_mask, compute_slope_and_normals,
-    )
+    sequence (wasspost `visibilitymap`, wasspost.py:502-621): each frame
+    slab runs as ONE device program (ray march + incidence batched over
+    frames — the reference batches frames across a thread pool instead,
+    wasspost.py:617-621), writes /occlusion_camN (u1) and
+    /incident_angles_camN (f4); incidence >= 88 deg counts as occluded."""
+    from wass_tpu.post.geometry import compute_visibility_batch
     from wass_tpu.post.ooc import iter_time_slabs
 
     with _open(ncfile, "r+") as f:
@@ -229,31 +229,21 @@ def visibilitymap(ncfile, cam, numframes, outputdir):
         inc_ds = f.create_dataset(inc_name, shape=Z.shape, dtype="f4", chunks=ck)
 
         total_occ = 0
-        for ts in iter_time_slabs((N,) + Z.shape[1:], 4):
+        for ts in iter_time_slabs((N,) + Z.shape[1:], 8):
             zz_slab = np.asarray(Z[ts], np.float64) / 1000.0
-            for k in range(zz_slab.shape[0]):
-                zz = zz_slab[k]
-                # Unit rays surface point -> camera, in the grid frame.
-                rays = np.dstack([C[0] - XX, C[1] - YY, np.maximum(C[2] - zz, 1e-3)])
-                rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
-                # Incidence angle vs the surface normal (:570-575).
-                _, normals = compute_slope_and_normals(XX, YY, zz)
-                inc = np.degrees(np.arccos(np.clip(np.sum(normals * rays, -1), -1, 1)))
-                # Ray march in grid-cell units (the reference passes ZZ/dx
-                # with unit rays, :581-583).
-                occ = compute_occlusion_mask(zz / dx, rays)
-                occ[inc >= 88.0] = 1
-                i = (ts.start or 0) + k
-                occ_ds[i] = occ
-                inc_ds[i] = inc.astype(np.float32)
-                total_occ += int(occ.sum())
-                if outputdir is not None:
-                    from wass_tpu.utils.render import _save
+            occ_b, inc_b = compute_visibility_batch(zz_slab, XX, YY, C, dx)
+            occ_ds[ts] = occ_b
+            inc_ds[ts] = inc_b
+            total_occ += int(occ_b.sum())
+            if outputdir is not None:
+                from wass_tpu.utils.render import _save
 
-                    Path(outputdir).mkdir(parents=True, exist_ok=True)
+                Path(outputdir).mkdir(parents=True, exist_ok=True)
+                for k in range(occ_b.shape[0]):
+                    i = (ts.start or 0) + k
                     _save(
                         Path(outputdir) / f"{i:08d}_occlusion_mask_cam{cam}.png",
-                        occ * 255,
+                        occ_b[k] * 255,
                     )
         denom = N * Z.shape[1] * Z.shape[2]
     click.echo(

@@ -80,8 +80,13 @@ def grid_frame(
     workdir: Workdir,
     setup: GridSetup,
     cfg: GridConfig = GridConfig(),
+    user_mask: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Grid one frame: returns (Z, mask) in meters on the setup's XY grid."""
+    """Grid one frame: returns (Z, mask) in meters on the setup's XY grid.
+
+    user_mask: optional (H, W) {0,1} grid mask multiplied into the
+    interpolation mask (reference --mask flag, wassgridsurface.py:281-286,
+    355-363)."""
     mesh = load_camera_mesh(workdir.path / "mesh_cam.xyzC")
     meanplane_RT = (setup.Rpl, setup.Tpl)
     mesh_aligned = (setup.Rpl @ mesh + setup.Tpl)
@@ -135,6 +140,8 @@ def grid_frame(
             Z, nfreqs=cfg.dct_nfreqs, max_iters=cfg.dct_iters, alpha=cfg.dct_alpha, seed=cfg.seed
         )
 
+    if user_mask is not None:
+        mask = mask * user_mask
     Zi = np.where(mask > 0, Zi, np.nan)
     if cfg.median_filter_size >= 3:
         filled = np.nan_to_num(Zi)
@@ -143,14 +150,35 @@ def grid_frame(
     return Zi, mask
 
 
+@dataclasses.dataclass
+class GridStats:
+    """Streaming summary of a gridded sequence (grid_sequence no longer
+    accumulates per-frame Z grids in host RAM — an hour of 20 Hz frames at
+    512x512 would be ~38 GB)."""
+
+    n_frames: int = 0
+    zmin: float = float("nan")
+    zmax: float = float("nan")
+    zmean: Optional[np.ndarray] = None  # (H, W) temporal mean (meters)
+
+
 def grid_sequence(
     workdirs: Sequence[Workdir],
     setup: GridSetup,
     out_path,
     cfg: GridConfig = GridConfig(),
     fps: Optional[float] = None,
-) -> List[np.ndarray]:
-    """Grid all frames into a NetCDF-compatible cube (gridded.nc schema)."""
+    user_mask: Optional[np.ndarray] = None,
+    diag_dir=None,
+) -> GridStats:
+    """Grid all frames into a NetCDF-compatible cube (gridded.nc schema).
+
+    Streaming/out-of-core: each frame is gridded, pushed into the cube and
+    dropped; only the running z statistics (a single (H, W) mean grid) stay
+    resident.  Returns GridStats.  user_mask (reference --mask) is applied
+    per frame and written into the cube's maskZ variable; diag_dir, when
+    set, receives the reference's frame-0 diagnostic renders
+    (gridded.png / grid_img.png, wassgridsurface.py:364-375)."""
     from wass_tpu.grid.netcdf import NetCDFWriter
 
     H, W = setup.XX.shape
@@ -167,12 +195,16 @@ def grid_sequence(
     writer.add_meta_attribute("generator", "wass_tpu")
     writer.add_meta_attribute("baseline", setup.baseline)
     writer.add_meta_attribute("fps", fps)
+    writer.set_mask(
+        np.ones((H, W), np.float32) if user_mask is None
+        else np.asarray(user_mask, np.float32)
+    )
 
-    Zs = []
-    zsum = None
-    zmins, zmaxs = [], []
+    stats = GridStats()
+    zsum = np.zeros((H, W), np.float64)
+    zmin, zmax = np.inf, -np.inf
     for i, wd in enumerate(workdirs):
-        Z, mask = grid_frame(wd, setup, cfg)
+        Z, mask = grid_frame(wd, setup, cfg, user_mask=user_mask)
         frame_idx = int(str(wd.path.name)[:-3]) if str(wd.path.name).endswith("_wd") else i
         image = imagemask = None
         if cfg.save_images:
@@ -184,15 +216,17 @@ def grid_sequence(
             Z * 1000.0, time=i / fps, workdir=frame_idx,
             image=image, imagemask=imagemask,
         )
-        zsum = np.nan_to_num(Z) if zsum is None else zsum + np.nan_to_num(Z)
-        zmins.append(np.nanmin(Z))
-        zmaxs.append(np.nanmax(Z))
-        Zs.append(Z)
+        if i == 0 and diag_dir is not None:
+            _save_grid_diagnostics(Z, setup, diag_dir)
+        zsum += np.nan_to_num(Z)
+        zmin = min(zmin, float(np.nanmin(Z)))
+        zmax = max(zmax, float(np.nanmax(Z)))
+        stats.n_frames += 1
 
     # zmin/zmax/zmean provenance attributes (wassgridsurface.py:528-549).
-    if Zs:
-        zmin = float(np.nanmin(zmins))
-        zmax = float(np.nanmax(zmaxs))
+    if stats.n_frames:
+        stats.zmin, stats.zmax = zmin, zmax
+        stats.zmean = zsum / stats.n_frames
         if cfg.force_zero_mean:
             writer.add_meta_attribute("zmin", zmin)
             writer.add_meta_attribute("zmax", -zmin)
@@ -202,9 +236,37 @@ def grid_sequence(
             writer.add_meta_attribute("zmax", zmax)
     writer.close()
 
-    if cfg.force_zero_mean and Zs:
-        _force_zero_mean_chunked(out_path, (zsum / len(Zs) * 1000.0).astype(np.float32))
-    return Zs
+    if cfg.force_zero_mean and stats.n_frames:
+        _force_zero_mean_chunked(out_path, (stats.zmean * 1000.0).astype(np.float32))
+    return stats
+
+
+def _save_grid_diagnostics(Z: np.ndarray, setup: GridSetup, diag_dir) -> None:
+    """Frame-0 renders: gridded.png (matplotlib surface) + grid_img.png
+    (normalized grayscale), wassgridsurface.py:364-375."""
+    try:
+        from pathlib import Path
+
+        diag = Path(diag_dir)
+        diag.mkdir(parents=True, exist_ok=True)
+        zmin, zmax = np.nanmin(Z), np.nanmax(Z)
+        img = (Z - zmin) / max(zmax - zmin, 1e-12) * 255.0
+        img = np.nan_to_num(img).astype(np.uint8)
+        import imageio.v3 as iio
+
+        iio.imwrite(diag / "grid_img.png", img)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure(figsize=(8, 8))
+        plt.imshow(Z, vmin=zmin, vmax=zmax)
+        plt.colorbar()
+        fig.savefig(diag / "gridded.png", bbox_inches="tight")
+        plt.close(fig)
+    except Exception:
+        pass
 
 
 def _load_frame_jpeg(wd: Workdir, cam: int):

@@ -1,9 +1,18 @@
 """Frame-sharded sequence runner: batches of stereo frames across a mesh.
 
-The multi-chip/multi-host production path: frames are stacked into a
-batch sharded over the ("frame",) mesh axis, the dense pipeline runs
-vmapped under that sharding (XLA partitions it with zero cross-frame
-communication), and the sequence reduction (mean plane) is a collective.
+The multi-chip/multi-host production path.  Design (TPU-native, SPMD):
+one frame per device per step, expressed with jax.shard_map over a
+("frame",) mesh — inside the shard the local batch axis is squeezed away
+and the *unbatched* per-frame pipeline runs, so every Pallas kernel
+(SGM aggregation, windowed c2f cost, connected components) executes
+exactly as in the single-device path with no custom-call partitioning or
+vmap rules involved.  XLA inserts the only collective of the step (the
+sequence mean-plane reduction) from a plain jnp.nanmean over the sharded
+plane array.
+
+This replaces the reference's "N worker processes over a shared
+filesystem" scaling model (/root/reference/cli/wasscli/wasscli.py:48,277,
+346; docs: getting_started.html.md:40-47).
 
 On a pod slice, call jax.distributed.initialize() first; the same code
 then spans hosts, with each host feeding its local shard of frames
@@ -24,6 +33,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from wass_tpu.stereo.dense import (
     DenseStereoConfig,
     DenseFrameResult,
+    _c2f_active,
+    c2f_should_fallback,
     dense_stereo_device,
     _stage_disparity,
     _stage_points,
@@ -31,60 +42,194 @@ from wass_tpu.stereo.dense import (
 )
 from wass_tpu.ops.sampling import warp_homography
 
+try:  # jax >= 0.4.35 exports shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _batched_frames(base_b, match_b, geom_pack_b, cfg: DenseStereoConfig):
-    """vmapped staged pipeline over a leading frame axis, with *per-frame*
-    geometries (every geom_pack leaf carries a frame axis, including the
-    rectifying homographies — rectification runs in-graph with the traced-H
-    gather warp so frames with distinct extrinsics batch together).  Under
-    a frame sharding, XLA partitions every stage along that axis with zero
-    cross-frame communication."""
 
-    def one(bi, mi, gp):
-        shape = bi.shape
-        br = warp_homography(bi, gp["H_base"], shape)
-        mr = warp_homography(mi, gp["H_match"], shape)
+def _frame_pipeline(bi, mi, gp, cfg: DenseStereoConfig, rectified: bool):
+    """Unbatched per-frame dense pipeline (runs inside one shard).
+
+    Returns (DenseFrameResult, (base_rect, match_rect), (coverage,
+    offband)): the c2f window diagnostics are 1/0 when c2f is inactive,
+    so the host can apply the full-range fallback per batch."""
+    if rectified:
+        br, mr = bi, mi
+    else:
+        br = warp_homography(bi, gp["H_base"], bi.shape)
+        mr = warp_homography(mi, gp["H_match"], mi.shape)
+
+    if _c2f_active(cfg, br.shape):
+        from wass_tpu.stereo.c2f import (
+            TILE_ROWS, compute_row_windows, coarse_num_disp, downsample_pool,
+            wta_disparity_windowed,
+        )
+        from wass_tpu.stereo.sgm import sgm_disparity
+        from wass_tpu.stereo.cost import census_transform
+        from wass_tpu.stereo.sgm_pallas import (
+            census_cost_volume_pallas_windowed, sgm_aggregate_pallas_windowed,
+        )
+
+        bc = downsample_pool(br, cfg.c2f_factor)
+        mc = downsample_pool(mr, cfg.c2f_factor)
+        disp_c = sgm_disparity(
+            bc, mc,
+            num_disp=coarse_num_disp(cfg.num_disp, cfg.c2f_factor),
+            min_disp=max(1, cfg.min_disp // cfg.c2f_factor),
+            P1=cfg.p1, P2=cfg.p2,
+            directions=cfg.directions if cfg.directions != 5 else 8,
+            census_win=cfg.census_win,
+            uniqueness_ratio=cfg.uniqueness_ratio,
+            use_pallas=True,
+        )
+        wstart, cov, offb = compute_row_windows(
+            disp_c, cfg.c2f_factor, cfg.num_disp, cfg.min_disp, cfg.c2f_window
+        )
+        cb = census_transform(br, cfg.census_win)
+        cm = census_transform(mr, cfg.census_win)
+        cost = census_cost_volume_pallas_windowed(
+            cb, cm, wstart, cfg.c2f_window, cfg.num_disp, cfg.min_disp
+        )
+        agg = sgm_aggregate_pallas_windowed(
+            cost, wstart, cfg.p1, cfg.p2, cfg.directions
+        )
+        disp = wta_disparity_windowed(
+            agg, jnp.repeat(wstart, TILE_ROWS), cfg.uniqueness_ratio
+        )
+        from wass_tpu.stereo.dense import disparity_postprocess
+
+        disp = disparity_postprocess(disp, cfg)
+    else:
         disp = _stage_disparity.__wrapped__(br, mr, cfg)
-        pts, valid = _stage_points.__wrapped__(disp, gp, br, mr, cfg)
-        plane, ok, valid = _stage_plane.__wrapped__(pts, valid, cfg)
-        return DenseFrameResult(pts, valid, plane, ok, disp, jnp.sum(valid))
+        cov = jnp.float32(1.0)
+        offb = jnp.float32(0.0)
 
-    res = jax.vmap(one)(base_b, match_b, geom_pack_b)
-    mean_plane = jnp.nanmean(res.plane, axis=0)
-    return res, mean_plane
+    pts, valid = _stage_points.__wrapped__(disp, gp, br, mr, cfg)
+    plane, ok, valid = _stage_plane.__wrapped__(pts, valid, cfg)
+    res = DenseFrameResult(pts, valid, plane, ok, disp, jnp.sum(valid))
+    return res, (br, mr), (cov, offb)
+
+
+def build_sharded_step(mesh: Mesh, cfg: DenseStereoConfig, rectified: bool):
+    """One jitted SPMD step: (F, H, W) x2 + stacked geom packs, all sharded
+    P("frame") with F == mesh devices, -> (DenseFrameResult batch, rect
+    image batch, (coverage, offband) batches, mean plane)."""
+
+    spec = P("frame")
+
+    def local_step(base_b, match_b, gp_b):
+        bi, mi = base_b[0], match_b[0]
+        gp = jax.tree.map(lambda x: x[0], gp_b)
+        res, rects, diag = _frame_pipeline(bi, mi, gp, cfg, rectified)
+        add_f = lambda t: jax.tree.map(lambda x: x[None], t)
+        return add_f(res), add_f(rects), add_f(diag)
+
+    # check_vma off: the SGM scan carries are initialized inside the shard
+    # (unvarying consts) and become frame-varying through the scan, which
+    # the varying-manual-axes checker rejects; the computation itself is
+    # embarrassingly frame-parallel.
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(base_b, match_b, gp_b):
+        res, rects, diag = sharded(base_b, match_b, gp_b)
+        # The sequence reduction: XLA lowers this nanmean over the sharded
+        # frame axis to the cross-device collective (the wasscli
+        # "aggregate planes over NFS" equivalent, wasscli.py:320-343).
+        mean_plane = jnp.nanmean(res.plane, axis=0)
+        return res, rects, diag, mean_plane
+
+    return step
 
 
 def stack_geom_packs(packs: Sequence[dict]) -> dict:
     """Stack per-frame geom_pack dicts (build_geom_pack) along a new frame
-    axis for _batched_frames."""
+    axis for the sharded step."""
     keys = packs[0].keys()
     return {k: jnp.stack([p[k] for p in packs]) for k in keys}
 
 
 class ShardedDenseRunner:
-    """Runs batches of frame pairs sharded across the device mesh.
+    """Runs batches of frame pairs sharded across the device mesh, one
+    frame per device per step.
 
     Each frame carries its own geometry (geom_pack entries are batched);
-    fixed-rig sequences simply feed identical packs."""
+    fixed-rig sequences simply feed identical packs.  When every frame of
+    a batch shares one rectification homography, pass rectified inputs
+    (pre-warped host-side with the static-H two-pass warp, ~75x cheaper
+    than the in-graph gather warp) and rectified=True.
+
+    c2f safety: the step returns per-frame window coverage/offband
+    diagnostics; frames that trip c2f_should_fallback are re-run through
+    a full-range step (cfg with c2f disabled) — the sharded equivalent of
+    DenseStereoPipeline's per-frame fallback."""
 
     def __init__(self, mesh: Mesh, cfg: DenseStereoConfig):
         self.mesh = mesh
         self.cfg = cfg
+        self.cfg_full = dataclasses.replace(cfg, c2f_window=0)
         self.fsh = NamedSharding(mesh, P("frame"))
+        self._steps: dict = {}
 
     @property
     def batch_size(self) -> int:
         return self.mesh.shape["frame"]
 
-    def run_batch(self, base_img, match_img, geom_packs: Sequence[dict]):
-        """base_img/match_img: (F, H, W) undistorted images in base/match
-        roles; geom_packs: one build_geom_pack dict per frame."""
+    def _step_fn(self, cfg, rectified: bool):
+        key = (cfg, rectified)
+        if key not in self._steps:
+            self._steps[key] = build_sharded_step(self.mesh, cfg, rectified)
+        return self._steps[key]
+
+    def _put(self, base_img, match_img, geom_packs):
         put = lambda x: jax.device_put(np.asarray(x), self.fsh)
         gp = jax.device_put(
             jax.tree.map(np.asarray, stack_geom_packs(geom_packs)), self.fsh
         )
-        return _batched_frames(put(base_img), put(match_img), gp, self.cfg)
+        return put(base_img), put(match_img), gp
+
+    def run_batch(
+        self,
+        base_img,
+        match_img,
+        geom_packs: Sequence[dict],
+        rectified: bool = False,
+    ):
+        """base_img/match_img: (F, H, W) base/match-role images (undistorted,
+        or rectified when rectified=True); geom_packs: one build_geom_pack
+        dict per frame.  Returns (DenseFrameResult batch, (base_rect,
+        match_rect) batch, c2f diagnostics dict, mean plane)."""
+        bb, mb, gp = self._put(base_img, match_img, geom_packs)
+        res, rects, diag, mean_plane = self._step_fn(self.cfg, rectified)(bb, mb, gp)
+
+        info = {"coverage": None, "offband": None, "fallback_frames": []}
+        if _c2f_active(self.cfg, base_img.shape[1:]):
+            cov = np.asarray(diag[0])
+            offb = np.asarray(diag[1])
+            info["coverage"], info["offband"] = cov, offb
+            bad = [
+                k for k in range(len(cov))
+                if c2f_should_fallback(float(cov[k]), float(offb[k]), self.cfg)
+            ]
+            if bad:
+                info["fallback_frames"] = bad
+                res_f, rects_f, _, _ = self._step_fn(self.cfg_full, rectified)(bb, mb, gp)
+                take = lambda a, b: jax.tree.map(
+                    lambda x, y: jnp.stack(
+                        [y[k] if k in bad else x[k] for k in range(x.shape[0])]
+                    ),
+                    a, b,
+                )
+                res = take(res, res_f)
+                rects = take(rects, rects_f)
+                mean_plane = jnp.nanmean(res.plane, axis=0)
+        return res, rects, info, mean_plane
 
 
 def initialize_multihost(coordinator: Optional[str] = None, num_processes: Optional[int] = None, process_id: Optional[int] = None):

@@ -65,11 +65,18 @@ def compute_row_windows(
     """Per-tile window starts from a coarse disparity map.
 
     disp_coarse: (H/factor, W/factor) float disparity in coarse pixel
-    units (0 = invalid).  Returns (wstart_tiles, coverage):
+    units (0 = invalid).  Returns (wstart_tiles, coverage, offband):
     wstart_tiles (H // tile_rows,) int32 window starts in full-res
     disparity units, clipped to [min_disp, min_disp + num_disp - win_disp];
     coverage is the fraction of coarse-valid pixels whose upsampled
-    disparity falls inside their row window (diagnostic — should be ~1).
+    disparity falls inside their row window; offband is the fraction of
+    coarse-valid pixels that are outside their window AND spatially
+    coherent (all 4-neighbors also outside) — scattered wrong coarse
+    matches erode away, while a real off-band object (boat, buoy,
+    breaking-wave face — which the reference's always-full-range search
+    never misses, wass_stereo.cpp:742-744) survives the erosion and
+    should trigger a full-range fallback in production
+    (DenseStereoPipeline).
 
     The per-row bounds are *robust* (interquartile band of the valid
     population, centered): wrong coarse matches must not drag the window
@@ -122,12 +129,33 @@ def compute_row_windows(
     wstart = jnp.round(center - win_disp / 2.0).astype(jnp.int32)
     wstart = jnp.clip(wstart, min_disp, min_disp + num_disp - win_disp)
 
-    # Coverage diagnostic.
+    # Coverage diagnostics.  Pixels in the left-border triangle — full-res
+    # column x smaller than the row's disparity band — can never match at
+    # their true disparity (the reference patches their cost to max for
+    # the same reason), so the coarse pass fills them with coherent junk
+    # values; they are excluded from the metrics, or every clean oblique
+    # sea scene would read ~10% "off-band".
     tile_of_row = jnp.arange(Hc, dtype=jnp.int32) // cpt
     ws_c = wstart[tile_of_row].astype(jnp.float32)[:, None]
     inside = (dfull >= ws_c) & (dfull <= ws_c + (win_disp - 1))
-    coverage = jnp.sum(inside & valid) / jnp.maximum(jnp.sum(valid), 1)
-    return wstart, coverage
+    xfull = (jnp.arange(Wc, dtype=jnp.float32) + 0.5) * factor
+    reachable = xfull[None, :] >= rmax[:, None]
+    considered = valid & reachable
+    ncons = jnp.maximum(jnp.sum(considered), 1)
+    coverage = jnp.sum(inside & considered) / ncons
+    # Spatially-coherent off-band fraction: erode the outside-window mask
+    # by its 4-neighborhood so isolated wrong matches vanish but any
+    # off-band *object* patch survives.
+    out = (~inside) & considered
+    coh = out
+    for ax, s in ((0, 1), (0, -1), (1, 1), (1, -1)):
+        shifted = jnp.roll(out, s, axis=ax)
+        # Border rows/cols keep their own value (roll wraps).
+        idx = jax.lax.broadcasted_iota(jnp.int32, out.shape, ax)
+        edge = idx == (0 if s == 1 else out.shape[ax] - 1)
+        coh = coh & (shifted | edge)
+    offband = jnp.sum(coh) / ncons
+    return wstart, coverage, offband
 
 
 def wta_disparity_windowed(
@@ -204,7 +232,7 @@ def sgm_disparity_c2f(
         uniqueness_ratio=uniqueness_ratio,
         use_pallas=use_pallas,
     )
-    wstart, _cov = compute_row_windows(
+    wstart, _cov, _offband = compute_row_windows(
         disp_c, factor, num_disp, min_disp, win_disp
     )
     cb = census_transform(base_img, census_win)

@@ -99,6 +99,14 @@ class DenseStereoConfig:
     # design point is num_disp=640, wass_stereo.cpp:742-744).
     c2f_window: int = 128
     c2f_factor: int = 4
+    # Full-range safety net (the reference always searches the whole
+    # disparity range, wass_stereo.cpp:742-744): production falls back to
+    # full-range SGM for a frame whose coarse windows miss too much —
+    # raw window coverage below c2f_min_coverage, or a spatially-coherent
+    # off-band population (an object outside its row band; see
+    # c2f.compute_row_windows) above c2f_max_offband.
+    c2f_min_coverage: float = 0.5
+    c2f_max_offband: float = 2e-3
 
 
 class DenseFrameResult(NamedTuple):
@@ -577,10 +585,14 @@ def _jit_c2f_coarse(base_rect, match_rect, cfg: DenseStereoConfig):
 def _jit_c2f_windows(disp_c, cfg: DenseStereoConfig):
     from wass_tpu.stereo.c2f import compute_row_windows
 
-    wstart, cov = compute_row_windows(
+    return compute_row_windows(
         disp_c, cfg.c2f_factor, cfg.num_disp, cfg.min_disp, cfg.c2f_window
     )
-    return wstart, cov
+
+
+def c2f_should_fallback(coverage: float, offband: float, cfg: DenseStereoConfig) -> bool:
+    """Full-range fallback decision for one frame (pure, host-side)."""
+    return coverage < cfg.c2f_min_coverage or offband > cfg.c2f_max_offband
 
 
 @partial(jax.jit, static_argnames=("win_disp", "num_disp", "min_disp"))
@@ -628,6 +640,10 @@ class DenseStereoPipeline:
 
     def __init__(self, cfg: DenseStereoConfig):
         self.cfg = cfg
+        # Per-frame c2f window diagnostics of the most recent __call__:
+        # dict(coverage=, offband=, fallback=) or None (c2f inactive).
+        # Production (cli/pipeline.py) logs these into wass_stereo_log.txt.
+        self.last_c2f: Optional[dict] = None
 
     def __call__(self, base_rect, match_rect, base_img, match_img, geom_pack) -> DenseFrameResult:
         cfg = self.cfg
@@ -638,11 +654,23 @@ class DenseStereoPipeline:
             match_rect = resize(match_rect, (sh, sw), interp="cubic")
         cb = _jit_census(base_rect, cfg.census_win)
         cm = _jit_census(match_rect, cfg.census_win)
-        if _c2f_active(cfg, base_rect.shape):
+        self.last_c2f = None
+        use_c2f = _c2f_active(cfg, base_rect.shape)
+        if use_c2f:
             from wass_tpu.stereo.c2f import TILE_ROWS
 
             disp_c = _jit_c2f_coarse(base_rect, match_rect, cfg)
-            wstart, _cov = _jit_c2f_windows(disp_c, cfg)
+            wstart, _cov, _offb = _jit_c2f_windows(disp_c, cfg)
+            # Host decision point: a scalar sync on the (cheap) coarse
+            # pass.  Earlier frames' fine-stage work is still queued on
+            # the device, so the dispatch pipeline stays busy.
+            cov_v, offb_v = float(_cov), float(_offb)
+            fallback = c2f_should_fallback(cov_v, offb_v, cfg)
+            self.last_c2f = {
+                "coverage": cov_v, "offband": offb_v, "fallback": fallback,
+            }
+            use_c2f = not fallback
+        if use_c2f:
             cost = _jit_cost_windowed(
                 cb, cm, wstart, cfg.c2f_window, cfg.num_disp, cfg.min_disp
             )

@@ -27,12 +27,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG = 32000  # plain int: jnp scalars would be captured constants in the kernel
+_BIG = 32000.0  # plain float: jnp scalars would be captured constants in the kernel
 
 
-def _step(prev, cost_i32, P1, P2):
-    """One SGM update on an (S, D) int32 slab (Mosaic has no int16
-    reductions, so the carry math runs in int32; emissions stay uint8)."""
+def _to_f32(x):
+    """uint8 cost block -> float32 (Mosaic has no direct u8->f32 cast)."""
+    return x.astype(jnp.int32).astype(jnp.float32)
+
+
+def _step(prev, cost_f32, P1, P2):
+    """One SGM update on an (S, D) float32 slab.
+
+    All quantities are small integers (bounded by C_max + 2*P2 << 2^24) so
+    float math is bit-exact; float32 is used because Mosaic's *int32*
+    lane-axis min reduction lowers ~6x slower than the float one
+    (measured 57 -> 9.6 ms per tri-direction walk at 3 MP/128 lanes,
+    bench/_agg_variants.py)."""
     minprev = jnp.min(prev, axis=-1, keepdims=True)
     up = jnp.concatenate([jnp.full_like(prev[:, :1], _BIG), prev[:, :-1]], axis=1)
     dn = jnp.concatenate([prev[:, 1:], jnp.full_like(prev[:, :1], _BIG)], axis=1)
@@ -40,7 +50,7 @@ def _step(prev, cost_i32, P1, P2):
         jnp.minimum(prev, minprev + P2),
         jnp.minimum(up, dn) + P1,
     )
-    return cost_i32 + best - minprev
+    return cost_f32 + best - minprev
 
 
 def _pair_kernel(cf_ref, cb_ref, of_ref, ob_ref, fwd, bwd, *, P1, P2, shift, G):
@@ -70,12 +80,12 @@ def _pair_kernel(cf_ref, cb_ref, of_ref, ob_ref, fwd, bwd, *, P1, P2, shift, G):
                 f = jnp.where(rows >= B + shift, _BIG, f)
                 b = jnp.where(rows < -shift, _BIG, b)
 
-        f = _step(f, cf_ref[g].astype(jnp.int32), P1, P2)
+        f = _step(f, _to_f32(cf_ref[g]), P1, P2)
         # The backward block is loaded in *forward* storage order; its g-th
         # scan step consumes the (G-1-g)-th row of the block.
-        b = _step(b, cb_ref[G - 1 - g].astype(jnp.int32), P1, P2)
-        of_ref[g] = f.astype(jnp.uint8)
-        ob_ref[G - 1 - g] = b.astype(jnp.uint8)
+        b = _step(b, _to_f32(cb_ref[G - 1 - g]), P1, P2)
+        of_ref[g] = f.astype(jnp.int32).astype(jnp.uint8)
+        ob_ref[G - 1 - g] = b.astype(jnp.int32).astype(jnp.uint8)
     fwd[...] = f
     bwd[...] = b
 
@@ -122,8 +132,8 @@ def _run_pair(cost: jnp.ndarray, P1: int, P2: int, shift: int = 0, interpret: bo
         ],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((B, D), jnp.int32),
-            pltpu.VMEM((B, D), jnp.int32),
+            pltpu.VMEM((B, D), jnp.float32),
+            pltpu.VMEM((B, D), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -144,13 +154,14 @@ def _roll_mask(x, shift, B):
 
 def _tri_dir_kernel(c_ref, out_ref, s_v, s_d1, s_d2, *, P1, P2, G, reverse):
     """Vertical + both diagonals of ONE walk direction in one scan: three
-    uint8 carries in VMEM, one cost block read per grid step, the three
+    float32 carries in VMEM, one cost block read per grid step, the three
     directions emitted pre-summed (int16).  Merging triples the per-step
     arithmetic, amortizing the sequential grid-step overhead that
-    dominates the separate-pair version, and the u8 carries (per-direction
-    costs are min-normalized, < 256 by construction; 255 doubles as the
-    no-predecessor init, for which _step degenerates to ret = cost exactly
-    like the _BIG init) keep peak VMEM inside the 16 MB budget."""
+    dominates the separate-pair version.  Carries are float32 (exact for
+    these small integers) because the int32 lane-min reduce lowers ~6x
+    slower (see _step); 255 is the no-predecessor init, for which _step
+    degenerates to ret = cost exactly like the _BIG init (per-direction
+    costs are min-normalized < 256 by construction)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -164,15 +175,15 @@ def _tri_dir_kernel(c_ref, out_ref, s_v, s_d1, s_d2, *, P1, P2, G, reverse):
 
     for g0 in range(G):
         g = G - 1 - g0 if reverse else g0
-        c32 = c_ref[g].astype(jnp.int32)
-        v = _step(s_v[...].astype(jnp.int32), c32, P1, P2)
-        s_v[...] = v.astype(jnp.uint8)
+        cf = _to_f32(c_ref[g])
+        v = _step(s_v[...], cf, P1, P2)
+        s_v[...] = v
         acc = v
-        d1 = _step(_roll_mask(s_d1[...].astype(jnp.int32), sh, B), c32, P1, P2)
-        s_d1[...] = d1.astype(jnp.uint8)
+        d1 = _step(_roll_mask(s_d1[...], sh, B), cf, P1, P2)
+        s_d1[...] = d1
         acc = acc + d1
-        d2 = _step(_roll_mask(s_d2[...].astype(jnp.int32), -sh, B), c32, P1, P2)
-        s_d2[...] = d2.astype(jnp.uint8)
+        d2 = _step(_roll_mask(s_d2[...], -sh, B), cf, P1, P2)
+        s_d2[...] = d2
         out_ref[g] = (acc + d2).astype(jnp.int16)
 
 
@@ -195,7 +206,7 @@ def _run_tri_dir(cost: jnp.ndarray, P1: int, P2: int, reverse: bool, interpret: 
         in_specs=[pl.BlockSpec(blk, idx)],
         out_specs=pl.BlockSpec(blk, idx),
         out_shape=jax.ShapeDtypeStruct((S, B, D), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((B, D), jnp.uint8) for _ in range(3)],
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32) for _ in range(3)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(cost)
@@ -449,20 +460,20 @@ def _tri_dir_kernel_windowed(
         jj = jax.lax.broadcasted_iota(jnp.int32, (B, Dw), 1)
         keep = (jj + delta >= 0) & (jj + delta < Dw)
         for s in (s_v, s_d1, s_d2):
-            r = pltpu.roll(s[...].astype(jnp.int32), (-delta) % Dw, axis=1)
-            s[...] = jnp.where(keep, r, 255).astype(jnp.uint8)
+            r = pltpu.roll(s[...], (-delta) % Dw, axis=1)
+            s[...] = jnp.where(keep, r, 255.0)
 
     for g0 in range(G):
         g = G - 1 - g0 if reverse else g0
-        c32 = c_ref[g].astype(jnp.int32)
-        v = _step(s_v[...].astype(jnp.int32), c32, P1, P2)
-        s_v[...] = v.astype(jnp.uint8)
+        cf = _to_f32(c_ref[g])
+        v = _step(s_v[...], cf, P1, P2)
+        s_v[...] = v
         acc = v
-        d1 = _step(_roll_mask(s_d1[...].astype(jnp.int32), sh, B), c32, P1, P2)
-        s_d1[...] = d1.astype(jnp.uint8)
+        d1 = _step(_roll_mask(s_d1[...], sh, B), cf, P1, P2)
+        s_d1[...] = d1
         acc = acc + d1
-        d2 = _step(_roll_mask(s_d2[...].astype(jnp.int32), -sh, B), c32, P1, P2)
-        s_d2[...] = d2.astype(jnp.uint8)
+        d2 = _step(_roll_mask(s_d2[...], -sh, B), cf, P1, P2)
+        s_d2[...] = d2
         out_ref[g] = (acc + d2).astype(jnp.int16)
 
 
@@ -495,7 +506,7 @@ def _run_tri_dir_windowed(
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(blk, idx)],
         out_specs=pl.BlockSpec(blk, idx),
-        scratch_shapes=[pltpu.VMEM((B, D), jnp.uint8) for _ in range(3)],
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32) for _ in range(3)],
     )
     return pl.pallas_call(
         kernel,
