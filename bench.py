@@ -198,7 +198,10 @@ def main():
     if small:
         W, H, D = 512, 384, 64
     else:
-        W, H, D = 2048, 1536, 256
+        # WASS_BENCH_D=640 measures the reference design point
+        # (MAX_DISPARITY=640, wass_stereo.cpp:742-744): the c2f windowed
+        # path makes frame time nearly independent of the search range.
+        W, H, D = 2048, 1536, int(os.environ.get("WASS_BENCH_D", "256"))
 
     import jax
 

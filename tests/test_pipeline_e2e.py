@@ -46,15 +46,19 @@ class TestSequencePipeline:
         # Match.
         n_ok = pipe.match()
         assert n_ok >= 2
+        assert (wds[0].path / "wass_match_log.txt").exists()
 
         # Autocalibrate: pooled reduction must improve/maintain accuracy.
         res = pipe.autocalibrate()
         assert res is not None
+        assert (tmp_path / "seq" / "wass_autocalibrate_log.txt").exists()
         Tg = rig.T / np.linalg.norm(rig.T)
-        # Calibration gates (verify_matcher.m:7-8) relaxed ~2x for the tiny
-        # test resolution (384px vs 2-5 MP reference frames).
-        assert np.abs(res.R - rig.R).max() < 1e-2
-        assert np.abs(res.T.ravel() - Tg).max() < 4e-2
+        # Calibration gates (verify_matcher.m:7-8): with the quantization
+        # pre-smoothing the PNG-roundtripped pipeline achieves
+        # dR ~ 5e-4 / dT ~ 1.4e-3 even at this tiny 0.1 MP resolution —
+        # inside the reference's full-scale gates (5e-3 / 2e-2).
+        assert np.abs(res.R - rig.R).max() < 5e-3
+        assert np.abs(res.T.ravel() - Tg).max() < 1e-2
 
         # Stereo on all frames.
         planes = pipe.stereo()
@@ -71,10 +75,12 @@ class TestSequencePipeline:
             err = scenes[i].elevation_error(mesh_cam.T, plane)
             ae = np.sort(np.abs(err[np.isfinite(err)]))
             trimmed = ae[: int(len(ae) * 0.999)]
-            # verify_meshes.m gate is 0.02 at 3 MP; at this 0.1 MP / 3-frame
-            # test config the result is calibration-noise-limited (a few-e-3
-            # T-direction error — itself far inside the verify_matcher gate —
-            # tilts the elevation comparison), so the bound here is loose.
-            # The full-scale gate runs in the benchmark with GT extrinsics
-            # (reported 0.010 vs 0.02 at 3 MP).
-            assert trimmed.mean() < 0.35
+            # verify_meshes.m gate is 0.02 at 3 MP; at this 0.1 MP test
+            # resolution the dense match is quantization/resolution-limited
+            # to ~0.025 even with GT extrinsics, and the calibrated
+            # pipeline measures 0.033-0.035 per frame — gate at 0.06
+            # (~1.8x margin).  The full-scale calibrated gate runs in
+            # bench.py bench_accuracy (<0.02, committed artifact).
+            assert trimmed.mean() < 0.06
+            # Failure-map artifact (wass_stereo.cpp:1114-1119 equivalent).
+            assert (wd.path / "triangulation_failmap.jpg").exists()

@@ -87,11 +87,27 @@ class SequencePipeline:
             wds = [wds[i] for i in sorted(sel)]
         n_ok = 0
         for wd in wds:
+            import time as _time
+
+            t0 = _time.time()
             img0 = wd.load_undistorted(0)
             img1 = wd.load_undistorted(1)
             K0 = wd.load_intrinsics(0)
             K1 = wd.load_intrinsics(1)
             res = match_frame(img0, img1, K0, K1, self.cfg.match)
+            # Per-stage logfile (the wass_stereo_log.txt analogue for the
+            # match stage; the reference logs this stage to stdout only).
+            with open(wd.path / "wass_match_log.txt", "w") as f:
+                if res is None:
+                    f.write("[ERROR] match stage failed (no pose recovered)\n")
+                else:
+                    f.write(f"[INFO] matches: {res.n_matches}\n")
+                    f.write(
+                        f"[INFO] epipolar error avg/std/min/max: "
+                        f"{res.epi_avg:.4f} {res.epi_std:.4f} "
+                        f"{res.epi_min:.4f} {res.epi_max:.4f} px\n"
+                    )
+                f.write(f"[INFO] wall time: {_time.time()-t0:.3f}s\n")
             if res is None:
                 continue
             wd.save_extrinsics(res.R, res.T)
@@ -111,7 +127,24 @@ class SequencePipeline:
 
     # -- stage 3: autocalibrate -------------------------------------------
     def autocalibrate(self):
-        return autocalibrate_sequence(self.workdirs(), self.cfg.autocal)
+        import time as _time
+
+        t0 = _time.time()
+        res = autocalibrate_sequence(self.workdirs(), self.cfg.autocal)
+        # Sequence-level logfile (the reference logs this stage to stdout
+        # only; wass_stereo sets the per-stage precedent, :1833).
+        with open(self.outdir / "wass_autocalibrate_log.txt", "w") as f:
+            if res is None:
+                f.write("[ERROR] autocalibrate failed (no pooled matches)\n")
+            else:
+                f.write(f"[INFO] pooled inliers: {res.n_inliers}\n")
+                f.write(
+                    f"[INFO] avg epipolar error before/after BA: "
+                    f"{res.epi_avg_before:.6f} / {res.epi_avg_after:.6f} px\n"
+                )
+                f.write(f"[INFO] accepted (improved): {res.improved}\n")
+            f.write(f"[INFO] wall time: {_time.time()-t0:.3f}s\n")
+        return res
 
     # -- stage 4: dense stereo --------------------------------------------
     def _frame_geometry(self, cache: dict, K0, K1, R, T, shape):
@@ -240,6 +273,18 @@ class SequencePipeline:
                     wd.path / "graph_components.jpg",
                     np.asarray(res.valid).astype(np.uint8) * 255,
                 )
+                # Color-coded triangulation failure map
+                # (wass_stereo.cpp:1114-1119,1378-1383).
+                if res.fail_reasons is not None:
+                    from wass_tpu.utils.render import render_failure_map
+
+                    base_g = (
+                        np.asarray(extras["rect"][0]) if "rect" in extras else None
+                    )
+                    render_failure_map(
+                        wd.path / "triangulation_failmap.jpg",
+                        np.asarray(res.fail_reasons), base_g,
+                    )
             except Exception as e:  # debug imagery must never fail the stage
                 log_lines.append(f"debug renders failed: {e}")
 

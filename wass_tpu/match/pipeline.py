@@ -47,6 +47,13 @@ class MatchConfig:
     ransac_confidence: float = 0.9999
     iidyn_iters: int = 20000
     lk_refine: bool = True
+    # Gaussian pre-smoothing of the (uint8 PNG) input images before
+    # detection/refinement: the production inputs are 8-bit undistorted
+    # frames, whose quantization noise otherwise dominates the subpixel
+    # match accuracy (measured 30x worse pose dR on quantized inputs
+    # without it).  The reference's KAZE operates on a nonlinear-diffusion
+    # smoothed scale space for the same reason (FeatureSet.cpp:199).
+    input_smooth_sigma: float = 0.8
     seed: int = 0
 
 
@@ -76,6 +83,14 @@ def match_frame(
     """Full matching stage for one undistorted frame pair."""
     key = jax.random.PRNGKey(cfg.seed)
     k_match, k_ransac = jax.random.split(key)
+
+    img0 = jnp.asarray(img0, jnp.float32)
+    img1 = jnp.asarray(img1, jnp.float32)
+    if cfg.input_smooth_sigma > 0:
+        from wass_tpu.match.features import _gauss_blur
+
+        img0 = _gauss_blur(img0, cfg.input_smooth_sigma)
+        img1 = _gauss_blur(img1, cfg.input_smooth_sigma)
 
     f0 = detect_features(
         jnp.asarray(img0, jnp.float32),

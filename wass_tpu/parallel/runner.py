@@ -105,9 +105,9 @@ def _frame_pipeline(bi, mi, gp, cfg: DenseStereoConfig, rectified: bool):
         cov = jnp.float32(1.0)
         offb = jnp.float32(0.0)
 
-    pts, valid = _stage_points.__wrapped__(disp, gp, br, mr, cfg)
+    pts, valid, reasons = _stage_points.__wrapped__(disp, gp, br, mr, cfg)
     plane, ok, valid = _stage_plane.__wrapped__(pts, valid, cfg)
-    res = DenseFrameResult(pts, valid, plane, ok, disp, jnp.sum(valid))
+    res = DenseFrameResult(pts, valid, plane, ok, disp, jnp.sum(valid), reasons)
     return res, (br, mr), (cov, offb)
 
 

@@ -116,6 +116,22 @@ class DenseFrameResult(NamedTuple):
     plane_ok: jnp.ndarray  # bool
     disparity: jnp.ndarray  # (H, W) filtered disparity (diagnostic)
     n_points: jnp.ndarray  # int: valid points after outlier removal
+    # (H, W) uint8 per-pixel triangulation failure code (FAIL_* below;
+    # 0 = triangulated) — the color-coded failure map of the reference
+    # (wass_stereo.cpp:1114-1119,1378-1383).
+    fail_reasons: jnp.ndarray = None
+
+
+# Failure codes, mirroring the reference's color-coded debug imagery
+# (wass_stereo.cpp:1115-1120): the render maps them to the same colors.
+FAIL_OK = 0
+FAIL_NO_DISPARITY = 1
+FAIL_OUTSIDE_IMAGE = 2  # teal
+FAIL_OUTSIDE_BBOX = 3  # yellow (ROI / match-column bounds)
+FAIL_BURNED = 4  # also yellow (the reference uses the mask color)
+FAIL_ANGLE = 5  # green
+FAIL_TOO_CLOSE = 6  # blue
+FAIL_TOO_DISTANT = 7  # red
 
 
 # --------------------------------------------------------------------------
@@ -307,11 +323,20 @@ def triangulate_dense(
     xx = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
     yy = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
 
+    # Failure-reason map (reference color-coded debug imagery,
+    # wass_stereo.cpp:1114-1119,1378-1383): pre-triangulation gates
+    # overwrite in evaluation order like the reference's dbg writes; the
+    # post-triangulation distance gates only mark still-valid pixels.
     valid = disp > cfg.min_disp
+    reasons = jnp.where(valid, FAIL_OK, FAIL_NO_DISPARITY).astype(jnp.uint8)
+
     valid = valid & geom_pack["roi_mask"]
+    reasons = jnp.where(~geom_pack["roi_mask"], FAIL_OUTSIDE_BBOX, reasons)
 
     xm = xx - disp  # match-image x coordinate
-    valid = valid & (xm >= 0) & (xm < W)
+    in_match = (xm >= 0) & (xm < W)
+    valid = valid & in_match
+    reasons = jnp.where(~in_match, FAIL_OUTSIDE_BBOX, reasons)
 
     # Unrectify both coordinates (homography route; both rectification
     # methods are expressed as homographies on undistorted inputs).
@@ -320,7 +345,9 @@ def triangulate_dense(
 
     # In-image gates (1px margin, :1223-1228).
     for uv in (uv_base, uv_match):
-        valid = valid & (uv[..., 0] >= 1) & (uv[..., 0] < W - 1) & (uv[..., 1] >= 1) & (uv[..., 1] < H - 1)
+        in_img = (uv[..., 0] >= 1) & (uv[..., 0] < W - 1) & (uv[..., 1] >= 1) & (uv[..., 1] < H - 1)
+        valid = valid & in_img
+        reasons = jnp.where(~in_img, FAIL_OUTSIDE_IMAGE, reasons)
 
     # Burned-pixel masks (:1069-1093, DISCARD_BURNED_AREAS).  The reference
     # samples the *original* images at the unrectified coordinates; 2-D
@@ -332,7 +359,8 @@ def triangulate_dense(
     # disparity range on a uint8 mask, and the whole thing runs under a
     # lax.cond so frames with no burned pixels (the common case) skip it.
     if cfg.discard_burned:
-        valid = valid & (base_rect <= 254.0)
+        burned_base = base_rect > 254.0
+        valid = valid & ~burned_base
         bm = (match_rect > 254.0)
         burned = jax.lax.cond(
             jnp.any(bm),
@@ -341,6 +369,7 @@ def triangulate_dense(
             None,
         )
         valid = valid & ~burned
+        reasons = jnp.where(burned_base | burned, FAIL_BURNED, reasons)
 
     # Normalized coordinates: p in cam0, q in cam1 (roles by base_is_cam0).
     K0 = geom_pack["K0"]
@@ -374,16 +403,22 @@ def triangulate_dense(
     d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
     ang = jnp.degrees(jnp.arccos(jnp.clip(jnp.sum(d1 * d2, -1), -1.0, 1.0)))
     if cfg.min_angle_deg > 0:
-        valid = valid & (jnp.abs(ang) >= cfg.min_angle_deg)
+        ang_ok = jnp.abs(ang) >= cfg.min_angle_deg
+        valid = valid & ang_ok
+        reasons = jnp.where(~ang_ok, FAIL_ANGLE, reasons)
 
     pts = triangulate_normalized(p, q, R, T)
 
-    # Distance gates (:1327-1340) in baseline units.
+    # Distance gates (:1327-1340) in baseline units; like the reference
+    # these only apply to pixels that reached triangulation.
     dist = jnp.linalg.norm(pts, axis=-1)
-    valid = valid & (dist >= cfg.cam_distance / 10.0) & (pts[..., 2] >= 1.0)
-    valid = valid & (dist <= cfg.cam_distance * 200.0) & (pts[..., 2] < 1e30)
+    too_close = (dist < cfg.cam_distance / 10.0) | (pts[..., 2] < 1.0)
+    too_far = (dist > cfg.cam_distance * 200.0) | ~(pts[..., 2] < 1e30)
+    reasons = jnp.where((reasons == FAIL_OK) & too_close, FAIL_TOO_CLOSE, reasons)
+    reasons = jnp.where((reasons == FAIL_OK) & too_far, FAIL_TOO_DISTANT, reasons)
+    valid = valid & ~too_close & ~too_far
 
-    return pts, valid
+    return pts, valid, reasons
 
 
 def _masked_percentile_bisect(values: jnp.ndarray, mask: jnp.ndarray, pct: float, iters: int = 20) -> jnp.ndarray:
@@ -453,7 +488,7 @@ def dense_stereo_device(
     disp = _dispatch_disparity(base_s, match_s, cfg)
     disp = disparity_postprocess(disp, cfg)
 
-    pts, valid = triangulate_dense(disp, geom_pack, base_rect, match_rect, cfg)
+    pts, valid, reasons = triangulate_dense(disp, geom_pack, base_rect, match_rect, cfg)
     n_tri = jnp.sum(valid)
 
     keep, zgap = outlier_removal(pts, valid, cfg)
@@ -481,6 +516,7 @@ def dense_stereo_device(
         plane_ok=fit.ok,
         disparity=disp,
         n_points=jnp.sum(valid),
+        fail_reasons=reasons,
     )
 
 
@@ -497,9 +533,9 @@ def _stage_disparity(base_rect, match_rect, cfg: DenseStereoConfig):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _stage_points(disp, geom_pack, base_rect, match_rect, cfg: DenseStereoConfig):
-    pts, valid = triangulate_dense(disp, geom_pack, base_rect, match_rect, cfg)
+    pts, valid, reasons = triangulate_dense(disp, geom_pack, base_rect, match_rect, cfg)
     keep, _ = outlier_removal(pts, valid, cfg)
-    return pts, valid & keep
+    return pts, valid & keep, reasons
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -684,12 +720,13 @@ class DenseStereoPipeline:
             agg = _jit_aggregate(cost, cfg.p1, cfg.p2, cfg.directions, _pallas_ok(cfg))
             disp = _jit_wta(agg, cfg.min_disp, cfg.uniqueness_ratio, cfg.lr_max_diff)
         disp = _jit_postprocess(disp, cfg)
-        pts, valid0 = _jit_triangulate(disp, geom_pack, base_rect, match_rect, cfg)
+        pts, valid0, reasons = _jit_triangulate(disp, geom_pack, base_rect, match_rect, cfg)
         valid = _jit_outlier(pts, valid0, cfg)
         plane, ok, valid = _stage_plane(pts, valid, cfg)
         return DenseFrameResult(
             points=pts, valid=valid, plane=plane, plane_ok=ok,
             disparity=disp, n_points=jnp.sum(valid),
+            fail_reasons=reasons,
         )
 
 

@@ -80,6 +80,40 @@ def render_coverage(path, img: np.ndarray, disp: np.ndarray, roi=None) -> None:
     _save(path, vis)
 
 
+def render_failure_map(path, reasons: np.ndarray, base_gray: Optional[np.ndarray] = None) -> None:
+    """Color-coded triangulation failure map (the reference's dbg_R0/R1
+    imagery, wass_stereo.cpp:1114-1119,1378-1383), same RGB code:
+    triangulated pixels show the grayscale image (or mid-gray), failures
+    show teal (outside image), yellow (bbox/roi/burned), green (angle
+    gate), blue (too close), red (too distant), black (no disparity)."""
+    from wass_tpu.stereo.dense import (
+        FAIL_ANGLE, FAIL_BURNED, FAIL_NO_DISPARITY, FAIL_OK,
+        FAIL_OUTSIDE_BBOX, FAIL_OUTSIDE_IMAGE, FAIL_TOO_CLOSE,
+        FAIL_TOO_DISTANT,
+    )
+
+    r = np.asarray(reasons)
+    H, W = r.shape
+    if base_gray is not None:
+        g = np.clip(np.asarray(base_gray, np.float64), 0, 255)
+        img = np.stack([g] * 3, axis=-1)
+    else:
+        img = np.full((H, W, 3), 128.0)
+    # Reference colors are BGR cv::Vec3b; stored here as RGB.
+    colors = {
+        FAIL_NO_DISPARITY: (0, 0, 0),
+        FAIL_OUTSIDE_IMAGE: (0, 255, 255),   # teal
+        FAIL_OUTSIDE_BBOX: (255, 255, 0),    # yellow
+        FAIL_BURNED: (255, 255, 0),          # mask color
+        FAIL_ANGLE: (0, 255, 0),             # green
+        FAIL_TOO_CLOSE: (0, 0, 255),         # blue
+        FAIL_TOO_DISTANT: (255, 0, 0),       # red
+    }
+    for code, rgb in colors.items():
+        img[r == code] = rgb
+    _save(path, img)
+
+
 def _flow_color_wheel() -> np.ndarray:
     """Middlebury flow color wheel (drawOpticalFlow,
     wass_stereo.cpp:1398-1466): 55 hue steps with perceptually-chosen
