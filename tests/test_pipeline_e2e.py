@@ -17,7 +17,11 @@ from wass_tpu.io.xyzc import load_camera_mesh
 class TestSequencePipeline:
     def test_full_pipeline(self, tmp_path):
         W, H = 384, 288
-        n_frames = 3
+        # 6 frames: two-view pose from <=3 pooled frames at 0.1 MP is
+        # genuinely ambiguous (two BA basins with equal reprojection cost,
+        # dR swinging 8e-4 <-> 1.5e-2 on 1-ulp input noise); 6 frames
+        # (~1000 pooled matches) pin it to dR ~ 7e-5 stably.
+        n_frames = 6
         rng = np.random.default_rng(11)
         rig = make_rig(width=W, height=H, rng=rng)
         scenes = [
@@ -77,10 +81,10 @@ class TestSequencePipeline:
             trimmed = ae[: int(len(ae) * 0.999)]
             # verify_meshes.m gate is 0.02 at 3 MP; at this 0.1 MP test
             # resolution the dense match is quantization/resolution-limited
-            # to ~0.025 even with GT extrinsics, and the calibrated
-            # pipeline measures 0.033-0.035 per frame — gate at 0.06
-            # (~1.8x margin).  The full-scale calibrated gate runs in
-            # bench.py bench_accuracy (<0.02, committed artifact).
-            assert trimmed.mean() < 0.06
+            # to ~0.025 even with GT extrinsics — gate at 0.05 (~1.7x
+            # margin over the calibrated measurement).  The full-scale
+            # calibrated gate runs in bench.py bench_accuracy (<0.02,
+            # committed artifact).
+            assert trimmed.mean() < 0.05
             # Failure-map artifact (wass_stereo.cpp:1114-1119 equivalent).
             assert (wd.path / "triangulation_failmap.jpg").exists()

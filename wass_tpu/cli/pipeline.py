@@ -216,37 +216,45 @@ class SequencePipeline:
 
         # Export the compressed mesh in the sea-plane frame (the writer
         # contract of PovMesh::save_as_xyz_compressed, PovMesh.cpp:377-460).
+        # Quantization + compaction run ON DEVICE (_stage_export): the host
+        # fetches exactly the 6n-byte u16 wire payload instead of the 40 MB
+        # f32 point grid — the host<->device link, not compute, bounds the
+        # e2e rate.
         if np.all(np.isfinite(plane)):
             import jax.numpy as jnp
 
-            Rp, Tp, Rinv, Tinv = (
+            from wass_tpu.io.xyzc import save_xyz_quantized
+            from wass_tpu.stereo.dense import _stage_export
+
+            _Rp, _Tp, Rinv, Tinv = (
                 np.array(a, np.float64) for a in rt_from_plane(jnp.asarray(plane))
             )
-        else:
-            Rp, Rinv = np.eye(3), np.eye(3)
-            Tp, Tinv = np.zeros(3), np.zeros(3)
-        mesh_path = wd.path / "mesh_cam.xyzC"
-        if native.available():
-            # Fused compact+transform+quantize directly from the full point
-            # grid + validity mask — no host-side boolean compaction.
-            native.xyzc_write(
-                mesh_path,
-                np.asarray(res.points, np.float32),
-                np.asarray(res.valid),
-                Rp, Tp, Rinv, Tinv,
+            q_dev, mins_dev, scales_dev = _stage_export(
+                res.points, res.valid, jnp.asarray(plane, jnp.float32)
+            )
+            save_xyz_quantized(
+                wd.path / "mesh_cam.xyzC",
+                np.asarray(q_dev[:n_points]),
+                np.asarray(scales_dev), np.asarray(mins_dev),
+                Rinv, Tinv,
             )
         else:
+            Rinv, Tinv = np.eye(3), np.zeros(3)
             valid = np.array(res.valid)
             pts = np.array(res.points, np.float64)[valid]
-            wd.save_mesh(pts @ Rp.T + Tp, Rinv, Tinv)
+            wd.save_mesh(pts, Rinv, Tinv)
 
         if self.cfg.debug_renders:
             try:
+                from wass_tpu.stereo.dense import _jit_disp_u16, _jit_u8
                 from wass_tpu.utils.render import (
                     render_coverage, render_disparity, render_stereo,
                 )
 
-                disp = np.asarray(res.disparity)
+                # Fetch render sources in reduced precision (u16 fixed-point
+                # disparity, u8 images): renders never need f32, and the
+                # host<->device link is the production bottleneck.
+                disp = np.asarray(_jit_disp_u16(res.disparity)) / 16.0
                 render_stereo(
                     wd.path / "stereo_input.jpg", extras["imgs"][0],
                     extras["imgs"][1], vertical=True,
@@ -255,15 +263,14 @@ class SequencePipeline:
                 render_disparity(wd.path / "disparity_final_scaled.jpg", disp)
                 if "rect" in extras:
                     base_rect, match_rect = extras["rect"]
+                    base_u8 = np.asarray(_jit_u8(base_rect))
+                    match_u8 = np.asarray(_jit_u8(match_rect))
                     # Rectification check stereo.jpg (wass_stereo.cpp:1910-1926).
-                    render_stereo(
-                        wd.path / "stereo.jpg", np.asarray(base_rect),
-                        np.asarray(match_rect),
-                    )
+                    render_stereo(wd.path / "stereo.jpg", base_u8, match_u8)
                     # Coverage over the rectified base (:1017).
                     render_coverage(
                         wd.path / "disparity_coverage.jpg",
-                        np.asarray(base_rect), disp, roi=geom.roi,
+                        base_u8, disp, roi=geom.roi,
                     )
                 # Component/validity map (graph_components.jpg,
                 # PovMesh.cpp:982-984): surviving grid points in white.
@@ -278,12 +285,10 @@ class SequencePipeline:
                 if res.fail_reasons is not None:
                     from wass_tpu.utils.render import render_failure_map
 
-                    base_g = (
-                        np.asarray(extras["rect"][0]) if "rect" in extras else None
-                    )
                     render_failure_map(
                         wd.path / "triangulation_failmap.jpg",
-                        np.asarray(res.fail_reasons), base_g,
+                        np.asarray(res.fail_reasons),
+                        base_u8 if "rect" in extras else None,
                     )
             except Exception as e:  # debug imagery must never fail the stage
                 log_lines.append(f"debug renders failed: {e}")
@@ -514,7 +519,8 @@ class SequencePipeline:
                     geom, K0, K1 = geoms[k]
                     extras = {
                         "imgs": imgs[k],
-                        "rect": (np.asarray(rects[0][k]), np.asarray(rects[1][k])),
+                        # Device slices: the finalizer fetches u8 casts.
+                        "rect": (rects[0][k], rects[1][k]),
                     }
                     if info["coverage"] is not None:
                         extras["c2f"] = {

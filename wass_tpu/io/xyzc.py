@@ -48,6 +48,20 @@ def save_xyz_compressed(path, pts_plane: np.ndarray, Rinv: np.ndarray, Tinv: np.
         f.write(quant.astype("<u2").tobytes())
 
 
+def save_xyz_quantized(path, quant: np.ndarray, scales, mins, Rinv: np.ndarray, Tinv: np.ndarray) -> None:
+    """Write pre-quantized u16 plane-frame points (N, 3) — the device-side
+    export path (stereo/dense._stage_export) quantizes on device so the
+    host only streams the wire payload."""
+    q = np.ascontiguousarray(np.asarray(quant, dtype="<u2"))
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", int(q.shape[0])))
+        f.write(struct.pack("<3d", *np.asarray(scales, np.float64)))
+        f.write(struct.pack("<3d", *np.asarray(mins, np.float64)))
+        f.write(np.asarray(Rinv, dtype=np.float64).reshape(9).tobytes())
+        f.write(np.asarray(Tinv, dtype=np.float64).reshape(3).tobytes())
+        f.write(q.tobytes())
+
+
 def load_camera_mesh(path) -> np.ndarray:
     """Decode to camera-frame points (3, N), mirroring wass_utils.py:22-35."""
     with open(path, "rb") as f:

@@ -205,6 +205,10 @@ class ShardedDenseRunner:
         or rectified when rectified=True); geom_packs: one build_geom_pack
         dict per frame.  Returns (DenseFrameResult batch, (base_rect,
         match_rect) batch, c2f diagnostics dict, mean plane)."""
+        assert len(geom_packs) == self.batch_size and base_img.shape[0] == self.batch_size, (
+            "the SPMD step runs one frame per device: pass exactly "
+            f"mesh-size ({self.batch_size}) frames per batch"
+        )
         bb, mb, gp = self._put(base_img, match_img, geom_packs)
         res, rects, diag, mean_plane = self._step_fn(self.cfg, rectified)(bb, mb, gp)
 

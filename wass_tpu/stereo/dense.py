@@ -665,6 +665,48 @@ def _jit_outlier(pts, valid, cfg):
     return valid & keep
 
 
+@jax.jit
+def _stage_export(pts, valid, plane):
+    """Device-side .xyzC payload: transform the valid points to the
+    sea-plane frame, quantize to the format's u16 fixed point
+    (PovMesh.cpp:377-460 semantics: scale = 65535/range, truncating cast)
+    and compact them to the front of a (H*W, 3) u16 buffer.
+
+    The host then fetches exactly 6*n bytes (+ 6 header floats) instead
+    of the 40 MB full f32 point grid + mask — the production host<->device
+    link is the e2e bottleneck (26x less traffic per frame)."""
+    from wass_tpu.core.geometry import rt_from_plane
+
+    Rp, Tp, _Rinv, _Tinv = rt_from_plane(plane)
+    p = pts @ Rp.T + Tp
+    big = jnp.float32(1e30)
+    v3 = valid[..., None]
+    flat = p.reshape(-1, 3)
+    fv = valid.reshape(-1)
+    mins = jnp.min(jnp.where(v3, p, big).reshape(-1, 3), axis=0)
+    maxs = jnp.max(jnp.where(v3, p, -big).reshape(-1, 3), axis=0)
+    rngs = jnp.where(maxs - mins > 0, maxs - mins, 1.0)
+    scales = 65535.0 / rngs
+    q = jnp.clip((flat - mins) * scales, 0.0, 65535.0).astype(jnp.uint16)
+    HW = fv.shape[0]
+    idx = jnp.cumsum(fv) - 1
+    target = jnp.where(fv, idx, HW)  # invalid rows dropped
+    out = jnp.zeros((HW, 3), jnp.uint16).at[target].set(q, mode="drop")
+    return out, mins.astype(jnp.float64), scales.astype(jnp.float64)
+
+
+@jax.jit
+def _jit_disp_u16(disp):
+    """Disparity as 1/16-px fixed point for cheap host fetch (the debug
+    render does not need f32)."""
+    return jnp.clip(disp * 16.0, 0, 65535).astype(jnp.uint16)
+
+
+@jax.jit
+def _jit_u8(img):
+    return jnp.clip(img, 0, 255).astype(jnp.uint8)
+
+
 class DenseStereoPipeline:
     """Fine-grained-jit dense pipeline for production/benchmarking.
 
