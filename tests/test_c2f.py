@@ -111,6 +111,26 @@ def test_windowed_aggregate_winner_parity_across_tiles(rng):
     np.testing.assert_array_equal(win_d, full)
 
 
+def test_fused_windowed_wta_matches_unfused(rng):
+    """The fused windowed final-walk WTA must reproduce
+    wta_disparity_windowed(sgm_aggregate_pallas_windowed(...)) bit-exactly,
+    including across varying per-tile window starts."""
+    from wass_tpu.stereo.sgm_pallas import sgm_wta_fused_pallas_windowed
+
+    H, W, Dw = 32, 32, 16
+    cost = jnp.asarray(rng.integers(0, 60, (H, W, Dw)).astype(np.uint8))
+    wstart = jnp.asarray([3, 9, 5, 12], jnp.int32)
+    off_rows = jnp.repeat(wstart, TILE_ROWS)
+    for dirs in (5, 8):
+        agg = sgm_aggregate_pallas_windowed(cost, wstart, 8, 96, dirs, interpret=True)
+        ref = np.asarray(wta_disparity_windowed(agg, off_rows, uniqueness_ratio=1))
+        d = sgm_wta_fused_pallas_windowed(cost, wstart, 8, 96, dirs, 1, interpret=True)
+        got = np.asarray(
+            jnp.where(d == 0.0, 0.0, d - 1.0 + off_rows[:, None].astype(jnp.float32))
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
 def test_compute_row_windows_fallbacks():
     Hc, Wc = 16, 8
     factor, D, Dw = 4, 64, 16

@@ -202,6 +202,30 @@ class TestPallasSGM:
             b = np.asarray(sgm_aggregate_pallas(vol, 8, 96, dirs, interpret=True))
             np.testing.assert_array_equal(a, b)
 
+    def test_fused_wta_matches_unfused(self, rng):
+        """The fused final-walk WTA kernel must reproduce
+        wta_disparity(sgm_aggregate(...)) bit-exactly for the 5- and
+        8-direction path sets at several min_disp/uniqueness settings."""
+        from wass_tpu.stereo.sgm import wta_disparity
+        from wass_tpu.stereo.sgm_pallas import sgm_wta_fused_pallas
+
+        img0 = (rng.random((48, 64)) * 255).astype(np.float32)
+        img1 = (rng.random((48, 64)) * 255).astype(np.float32)
+        cb = census_transform(jnp.asarray(img0), (5, 5))
+        cm = census_transform(jnp.asarray(img1), (5, 5))
+        for dirs in (5, 8):
+            for min_disp, uniq in ((1, 1), (3, 5)):
+                vol = census_cost_volume(cb, cm, 32, min_disp)
+                a = np.asarray(
+                    wta_disparity(sgm_aggregate(vol, 8, 96, dirs), min_disp, uniq)
+                )
+                b = np.asarray(
+                    sgm_wta_fused_pallas(
+                        vol, 8, 96, dirs, min_disp, uniq, interpret=True
+                    )
+                )
+                np.testing.assert_array_equal(a, b)
+
 
 class TestBurnedMaskWrap:
     def test_right_edge_saturation_does_not_wrap(self):

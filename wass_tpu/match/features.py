@@ -30,7 +30,6 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from wass_tpu.ops.sampling import bilinear_sample
 
 
 class FeatureSet(NamedTuple):
@@ -158,24 +157,29 @@ def detect_features(
     sel_scale = sigmas[scale_idx[sel_y, sel_x]]
 
     # --- subpixel: 2D quadratic on the response at the detected scale -----
-    r = responses[scale_idx[sel_y, sel_x], :, :]
+    # Five point taps gathered directly from the (S, H, W) response stack:
+    # indexing the per-feature plane first (responses[sidx] under vmap)
+    # materialized a (max_features, H, W) gather — 14 GB at 1536x1152 x
+    # 2000 features, an HBM OOM on a 16 GB chip.
+    sel_sidx = scale_idx[sel_y, sel_x]
 
-    def refine(one_r, y, x):
-        c = one_r[y, x]
-        dxm = one_r[y, jnp.clip(x - 1, 0, W - 1)]
-        dxp = one_r[y, jnp.clip(x + 1, 0, W - 1)]
-        dym = one_r[jnp.clip(y - 1, 0, H - 1), x]
-        dyp = one_r[jnp.clip(y + 1, 0, H - 1), x]
-        ox = jnp.clip((dxm - dxp) / (2 * jnp.abs(dxm + dxp - 2 * c) + 1e-12), -0.5, 0.5)
-        oy = jnp.clip((dym - dyp) / (2 * jnp.abs(dym + dyp - 2 * c) + 1e-12), -0.5, 0.5)
-        return ox, oy
+    def rtap(dy, dx):
+        return responses[
+            sel_sidx,
+            jnp.clip(sel_y + dy, 0, H - 1),
+            jnp.clip(sel_x + dx, 0, W - 1),
+        ]
 
-    ox, oy = jax.vmap(refine)(r, sel_y, sel_x)
+    c = rtap(0, 0)
+    dxm, dxp = rtap(0, -1), rtap(0, 1)
+    dym, dyp = rtap(-1, 0), rtap(1, 0)
+    ox = jnp.clip((dxm - dxp) / (2 * jnp.abs(dxm + dxp - 2 * c) + 1e-12), -0.5, 0.5)
+    oy = jnp.clip((dym - dyp) / (2 * jnp.abs(dym + dyp - 2 * c) + 1e-12), -0.5, 0.5)
     xy = jnp.stack([sel_x + ox, sel_y + oy], axis=-1)
 
     # --- orientation + descriptor -----------------------------------------
     # Gradients of the most-smoothed-at-that-scale image.
-    angle, desc = _describe(smoothed, sigmas, xy, scale_idx[sel_y, sel_x])
+    angle, desc = _describe(smoothed, sigmas, xy, sel_sidx)
 
     return FeatureSet(
         xy=xy.astype(jnp.float32),
@@ -203,16 +207,40 @@ def _describe(smoothed: jnp.ndarray, sigmas: jnp.ndarray, xy: jnp.ndarray, sidx:
 
     gw = jnp.exp(-0.5 * ((ox / (span / 2)) ** 2 + (oy / (span / 2)) ** 2) * 4.0)
 
+    # Per-feature plane selection happens inside the gather (row offset
+    # si*H into the (S*H, W)-flattened stack): `smoothed[si]` under vmap
+    # materialized an (n_features, H, W) gather — an HBM OOM at full
+    # resolution.  Bit-identical to bilinear_sample(smoothed[si], ...):
+    # row indices are clipped to the plane before the offset.
+    flat = smoothed.reshape(S * H, W)
+
+    def plane_bilinear(si, sx, sy):
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        fx = sx - x0
+        fy = sy - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        base = si * H
+
+        def g(yi, xi):
+            return flat[jnp.clip(yi, 0, H - 1) + base, jnp.clip(xi, 0, W - 1)]
+
+        top = g(y0i, x0i) * (1 - fx) + g(y0i, x0i + 1) * fx
+        bot = g(y0i + 1, x0i) * (1 - fx) + g(y0i + 1, x0i + 1) * fx
+        out = top * (1 - fy) + bot * fy
+        valid = (sx >= 0) & (sx <= W - 1) & (sy >= 0) & (sy <= H - 1)
+        return jnp.where(valid, out, 0.0)
+
     def one(xyi, si):
         sig = sigmas[si]
-        img_s = smoothed[si]
         sx = xyi[0] + ox * sig
         sy = xyi[1] + oy * sig
         eps = jnp.maximum(sig, 1.0)
-        vxp = bilinear_sample(img_s, sx + eps, sy)
-        vxm = bilinear_sample(img_s, sx - eps, sy)
-        vyp = bilinear_sample(img_s, sx, sy + eps)
-        vym = bilinear_sample(img_s, sx, sy - eps)
+        vxp = plane_bilinear(si, sx + eps, sy)
+        vxm = plane_bilinear(si, sx - eps, sy)
+        vyp = plane_bilinear(si, sx, sy + eps)
+        vym = plane_bilinear(si, sx, sy - eps)
         dx = (vxp - vxm) * gw
         dy = (vyp - vym) * gw
         ang = jnp.arctan2(jnp.sum(dy), jnp.sum(dx))

@@ -240,8 +240,16 @@ def sgm_disparity_c2f(
     cost = census_cost_volume_pallas_windowed(
         cb, cm, wstart, win_disp, num_disp, min_disp, interpret=interpret
     )
+    off_rows = jnp.repeat(wstart, TILE_ROWS)
+    if directions in (5, 8):
+        from wass_tpu.stereo.sgm_pallas import sgm_wta_fused_pallas_windowed
+
+        d = sgm_wta_fused_pallas_windowed(
+            cost, wstart, P1, P2, directions, uniqueness_ratio,
+            interpret=interpret,
+        )
+        return jnp.where(d == 0.0, 0.0, d - 1.0 + off_rows[:, None].astype(jnp.float32))
     agg = sgm_aggregate_pallas_windowed(
         cost, wstart, P1, P2, directions, interpret=interpret
     )
-    off_rows = jnp.repeat(wstart, TILE_ROWS)
     return wta_disparity_windowed(agg, off_rows, uniqueness_ratio)

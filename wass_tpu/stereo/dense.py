@@ -585,6 +585,26 @@ def _jit_aggregate(cost, P1, P2, directions, pallas):
     return _agg_scan(cost, P1, P2, directions)
 
 
+@partial(jax.jit, static_argnames=("P1", "P2", "directions", "min_disp", "uniqueness_ratio"))
+def _jit_sgm_fused(cost, P1, P2, directions, min_disp, uniqueness_ratio):
+    """Aggregation + WTA with the final walk fused (Pallas, directions 5/8,
+    lr_max_diff < 0): saves the int16 volume round-trip of the separate
+    aggregate + WTA programs (~12 GB of HBM traffic at 3 MP/D=256)."""
+    from wass_tpu.stereo.sgm_pallas import sgm_wta_fused_pallas
+
+    return sgm_wta_fused_pallas(cost, P1, P2, directions, min_disp, uniqueness_ratio)
+
+
+@partial(jax.jit, static_argnames=("P1", "P2", "directions", "uniqueness_ratio"))
+def _jit_sgm_fused_windowed(cost, wstart_tiles, off_rows, P1, P2, directions, uniqueness_ratio):
+    from wass_tpu.stereo.sgm_pallas import sgm_wta_fused_pallas_windowed
+
+    d = sgm_wta_fused_pallas_windowed(
+        cost, wstart_tiles, P1, P2, directions, uniqueness_ratio
+    )
+    return jnp.where(d == 0.0, 0.0, d - 1.0 + off_rows[:, None].astype(jnp.float32))
+
+
 @partial(jax.jit, static_argnames=("min_disp", "uniqueness_ratio", "lr_max_diff"))
 def _jit_wta(agg, min_disp, uniqueness_ratio, lr_max_diff):
     return _wta(agg, min_disp, uniqueness_ratio, lr_max_diff)
@@ -752,15 +772,27 @@ class DenseStereoPipeline:
             cost = _jit_cost_windowed(
                 cb, cm, wstart, cfg.c2f_window, cfg.num_disp, cfg.min_disp
             )
-            agg = _jit_aggregate_windowed(
-                cost, wstart, cfg.p1, cfg.p2, cfg.directions
-            )
             off_rows = jnp.repeat(wstart, TILE_ROWS)
-            disp = _jit_wta_windowed(agg, off_rows, cfg.uniqueness_ratio)
+            if cfg.directions in (5, 8):
+                disp = _jit_sgm_fused_windowed(
+                    cost, wstart, off_rows, cfg.p1, cfg.p2, cfg.directions,
+                    cfg.uniqueness_ratio,
+                )
+            else:
+                agg = _jit_aggregate_windowed(
+                    cost, wstart, cfg.p1, cfg.p2, cfg.directions
+                )
+                disp = _jit_wta_windowed(agg, off_rows, cfg.uniqueness_ratio)
         else:
             cost = _jit_cost(cb, cm, cfg.num_disp, cfg.min_disp, _pallas_ok(cfg))
-            agg = _jit_aggregate(cost, cfg.p1, cfg.p2, cfg.directions, _pallas_ok(cfg))
-            disp = _jit_wta(agg, cfg.min_disp, cfg.uniqueness_ratio, cfg.lr_max_diff)
+            if _pallas_ok(cfg) and cfg.directions in (5, 8) and cfg.lr_max_diff < 0:
+                disp = _jit_sgm_fused(
+                    cost, cfg.p1, cfg.p2, cfg.directions, cfg.min_disp,
+                    cfg.uniqueness_ratio,
+                )
+            else:
+                agg = _jit_aggregate(cost, cfg.p1, cfg.p2, cfg.directions, _pallas_ok(cfg))
+                disp = _jit_wta(agg, cfg.min_disp, cfg.uniqueness_ratio, cfg.lr_max_diff)
         disp = _jit_postprocess(disp, cfg)
         pts, valid0, reasons = _jit_triangulate(disp, geom_pack, base_rect, match_rect, cfg)
         valid = _jit_outlier(pts, valid0, cfg)

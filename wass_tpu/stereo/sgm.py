@@ -234,6 +234,12 @@ def sgm_disparity(
     cm = census_transform(match_img, census_win)
     cost = census_cost_volume(cb, cm, num_disp, min_disp)
     if use_pallas:
+        if directions in (5, 8) and lr_max_diff < 0:
+            from wass_tpu.stereo.sgm_pallas import sgm_wta_fused_pallas
+
+            return sgm_wta_fused_pallas(
+                cost, P1, P2, directions, min_disp, uniqueness_ratio
+            )
         from wass_tpu.stereo.sgm_pallas import sgm_aggregate_pallas
 
         agg = sgm_aggregate_pallas(cost, P1, P2, directions)

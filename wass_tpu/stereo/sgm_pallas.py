@@ -246,6 +246,203 @@ def sgm_aggregate_pallas(cost: jnp.ndarray, P1: int, P2: int, directions: int = 
     return agg
 
 
+# --------------------------------------------------------------------------
+# Fused final-walk WTA
+#
+# The unfused 8-direction pipeline writes three int16 (H, W, D) volumes to
+# HBM (horizontal sum, forward tri-walk, backward tri-walk), sums them in an
+# XLA pass and re-streams the result several times through the masked-
+# reduction WTA — ~12 GB of HBM traffic at 3 MP/D=256 that exists only to
+# carry per-direction sums between kernels.  The fused path instead:
+#   * forward tri-walk reads the horizontal int16 sum alongside the cost
+#     block and emits partial = hsum + N + NW + NE (same write volume);
+#   * the final walk (backward for 8 directions, the forward walk itself
+#     for the reference's 5-path set) adds its three directions to the
+#     partial IN REGISTERS and performs the whole WTA — first-argmin,
+#     parabola subpixel, uniqueness gate (sgm.wta_disparity semantics,
+#     bit-exact: all quantities are small integers in float32) — emitting
+#     one (H, W) float32 disparity map instead of an int16 volume.
+# --------------------------------------------------------------------------
+
+
+def _wta_row(total, *, D, min_disp, uniq):
+    """WTA on one (B, D) float32 row slab -> (B,) float32 disparity.
+
+    Bit-exact port of sgm.wta_disparity's masked-reduction formulation
+    (first-index argmin, +-1 neighbor costs, far-minimum uniqueness with
+    the integer floor threshold, clipped parabola subpixel); 0 = invalid."""
+    didx = jax.lax.broadcasted_iota(jnp.int32, total.shape, 1).astype(jnp.float32)
+    dmin = jnp.min(total, axis=-1, keepdims=True)
+    at_min = total == dmin
+    best = jnp.min(jnp.where(at_min, didx, float(D)), axis=-1, keepdims=True)
+
+    big = jnp.float32(_BIG)
+    sm1 = jnp.min(jnp.where(didx == best - 1, total, big), axis=-1)
+    sp1 = jnp.min(jnp.where(didx == best + 1, total, big), axis=-1)
+    far_min = jnp.min(jnp.where(jnp.abs(didx - best) > 1, total, big), axis=-1)
+
+    dminv = dmin[:, 0]
+    bestv = best[:, 0]
+    # Integer floor of dmin*(100+u)/100: the +0.5 absorbs the f32 division
+    # rounding (numerator is an exact integer < 2^24).
+    thresh = jnp.floor((dminv * (100.0 + uniq) + 0.5) / 100.0)
+    valid = far_min > thresh
+
+    interior = (bestv > 0) & (bestv < D - 1)
+    sm1s = jnp.where(interior, sm1, dminv)
+    sp1s = jnp.where(interior, sp1, dminv)
+    denom = jnp.maximum(sm1s + sp1s - 2.0 * dminv, 1.0)
+    delta = jnp.clip((sm1s - sp1s) / (2.0 * denom), -0.5, 0.5)
+    disp = bestv + min_disp + jnp.where(interior, delta, 0.0)
+    return jnp.where(valid, disp, 0.0)
+
+
+def _tri_dir_partial_kernel(c_ref, h_ref, out_ref, s_v, s_d1, s_d2, *, P1, P2, G, reverse):
+    """_tri_dir_kernel that also folds a pre-summed int16 volume (the
+    horizontal pair sum) into its emission: out = h + v + d1 + d2."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        s_v[...] = jnp.full_like(s_v, 255)
+        s_d1[...] = jnp.full_like(s_d1, 255)
+        s_d2[...] = jnp.full_like(s_d2, 255)
+
+    B = s_v.shape[0]
+    sh = -1 if reverse else 1
+    for g0 in range(G):
+        g = G - 1 - g0 if reverse else g0
+        cf = _to_f32(c_ref[g])
+        v = _step(s_v[...], cf, P1, P2)
+        s_v[...] = v
+        d1 = _step(_roll_mask(s_d1[...], sh, B), cf, P1, P2)
+        s_d1[...] = d1
+        d2 = _step(_roll_mask(s_d2[...], -sh, B), cf, P1, P2)
+        s_d2[...] = d2
+        out_ref[g] = h_ref[g] + (v + d1 + d2).astype(jnp.int16)
+
+
+def _tri_dir_wta_kernel(
+    c_ref, p_ref, out_ref, s_v, s_d1, s_d2, *, P1, P2, G, reverse, min_disp, uniq
+):
+    """Final SGM walk + in-register WTA: adds this walk's three directions
+    to the partial sum p_ref (int16) and emits the finished float32
+    disparity row — no int16 volume leaves the kernel."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        s_v[...] = jnp.full_like(s_v, 255)
+        s_d1[...] = jnp.full_like(s_d1, 255)
+        s_d2[...] = jnp.full_like(s_d2, 255)
+
+    B, D = s_v.shape
+    sh = -1 if reverse else 1
+    for g0 in range(G):
+        g = G - 1 - g0 if reverse else g0
+        cf = _to_f32(c_ref[g])
+        v = _step(s_v[...], cf, P1, P2)
+        s_v[...] = v
+        d1 = _step(_roll_mask(s_d1[...], sh, B), cf, P1, P2)
+        s_d1[...] = d1
+        d2 = _step(_roll_mask(s_d2[...], -sh, B), cf, P1, P2)
+        s_d2[...] = d2
+        total = p_ref[g].astype(jnp.float32) + (v + d1 + d2)
+        out_ref[g] = _wta_row(total, D=D, min_disp=min_disp, uniq=uniq)
+
+
+def _run_tri_dir_partial(cost, hsum, P1, P2, reverse, interpret=False):
+    """cost (S, B, D) uint8 + hsum (S, B, D) int16 -> int16 hsum + the
+    three directions of one walk."""
+    S, B, D = cost.shape
+    G = _pick_G(S, B, D, 5)  # u8 in + i16 in + i16 out
+    n_blocks = S // G
+    kernel = functools.partial(
+        _tri_dir_partial_kernel, P1=P1, P2=P2, G=G, reverse=reverse
+    )
+    blk = (G, B, D)
+    if reverse:
+        idx = lambda i: (n_blocks - 1 - i, 0, 0)
+    else:
+        idx = lambda i: (i, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(blk, idx), pl.BlockSpec(blk, idx)],
+        out_specs=pl.BlockSpec(blk, idx),
+        out_shape=jax.ShapeDtypeStruct((S, B, D), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32) for _ in range(3)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(cost, hsum)
+
+
+def _run_tri_dir_wta(
+    cost, partial, P1, P2, reverse, min_disp, uniq, interpret=False
+):
+    """cost (S, B, D) uint8 + partial (S, B, D) int16 -> (S, B) float32
+    disparity (the finished WTA of partial + this walk's directions)."""
+    S, B, D = cost.shape
+    G = _pick_G(S, B, D, 3)  # u8 in + i16 in (output rows are negligible)
+    n_blocks = S // G
+    kernel = functools.partial(
+        _tri_dir_wta_kernel, P1=P1, P2=P2, G=G, reverse=reverse,
+        min_disp=min_disp, uniq=uniq,
+    )
+    blk = (G, B, D)
+    if reverse:
+        idx = lambda i: (n_blocks - 1 - i, 0, 0)
+        idx2 = lambda i: (n_blocks - 1 - i, 0)
+    else:
+        idx = lambda i: (i, 0, 0)
+        idx2 = lambda i: (i, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(blk, idx), pl.BlockSpec(blk, idx)],
+        out_specs=pl.BlockSpec((G, B), idx2),
+        out_shape=jax.ShapeDtypeStruct((S, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32) for _ in range(3)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(cost, partial)
+
+
+def sgm_wta_fused_pallas(
+    cost: jnp.ndarray,
+    P1: int,
+    P2: int,
+    directions: int,
+    min_disp: int,
+    uniqueness_ratio: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Aggregation + WTA with the final walk fused: (H, W, D) uint8 cost ->
+    (H, W) float32 disparity, bit-identical to
+    wta_disparity(sgm_aggregate_pallas(cost, ...), min_disp, uniqueness_ratio)
+    for directions in (5, 8) with lr_max_diff < 0."""
+    assert directions in (5, 8)
+    assert 64 + P2 < 256, "P2 too large for uint8 direction emissions"
+    c = cost if cost.dtype == jnp.uint8 else cost.astype(jnp.uint8)
+
+    cT = jnp.transpose(c, (1, 0, 2))
+    hf, hb = _run_pair(cT, P1, P2, interpret=interpret)
+    hsum = (
+        jnp.transpose(hf, (1, 0, 2)).astype(jnp.int16)
+        + jnp.transpose(hb, (1, 0, 2)).astype(jnp.int16)
+    )
+    if directions == 5:
+        return _run_tri_dir_wta(
+            c, hsum, P1, P2, reverse=False, min_disp=min_disp,
+            uniq=uniqueness_ratio, interpret=interpret,
+        )
+    partial = _run_tri_dir_partial(c, hsum, P1, P2, reverse=False, interpret=interpret)
+    return _run_tri_dir_wta(
+        c, partial, P1, P2, reverse=True, min_disp=min_disp,
+        uniq=uniqueness_ratio, interpret=interpret,
+    )
+
+
 def _cost_kernel(refs_and_out, *, num_disp, min_disp, nw):
     """Census cost for one row tile.  Inputs are *plane-separated* census
     words — (rows, W) uint32 per word — so every xor/popcount runs at full
@@ -515,6 +712,188 @@ def _run_tri_dir_windowed(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(wstart_tiles.astype(jnp.int32), cost)
+
+
+def _windowed_realign(off_ref, scratches, *, i, n, reverse):
+    """Carry realignment between window tiles (shared prologue of the
+    windowed walk kernels): when the window start changes by delta between
+    consecutive tiles, rotate the carries' lanes by -delta and reset the
+    entries that left the window to the 255 no-predecessor init."""
+    tile = (n - 1 - i) if reverse else i
+    prev_tile = jnp.clip(tile + (1 if reverse else -1), 0, n - 1)
+    delta = jnp.where(i == 0, 0, off_ref[tile] - off_ref[prev_tile])
+
+    @pl.when(delta != 0)
+    def _():
+        B, Dw = scratches[0].shape
+        jj = jax.lax.broadcasted_iota(jnp.int32, (B, Dw), 1)
+        keep = (jj + delta >= 0) & (jj + delta < Dw)
+        for s in scratches:
+            r = pltpu.roll(s[...], (-delta) % Dw, axis=1)
+            s[...] = jnp.where(keep, r, 255.0)
+
+
+def _tri_dir_partial_kernel_windowed(
+    off_ref, c_ref, h_ref, out_ref, s_v, s_d1, s_d2, *, P1, P2, G, reverse
+):
+    """Windowed _tri_dir_partial_kernel: out = h + v + d1 + d2 over a
+    windowed volume with per-tile carry realignment."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        s_v[...] = jnp.full_like(s_v, 255)
+        s_d1[...] = jnp.full_like(s_d1, 255)
+        s_d2[...] = jnp.full_like(s_d2, 255)
+
+    _windowed_realign(off_ref, (s_v, s_d1, s_d2), i=i, n=n, reverse=reverse)
+
+    B = s_v.shape[0]
+    sh = -1 if reverse else 1
+    for g0 in range(G):
+        g = G - 1 - g0 if reverse else g0
+        cf = _to_f32(c_ref[g])
+        v = _step(s_v[...], cf, P1, P2)
+        s_v[...] = v
+        d1 = _step(_roll_mask(s_d1[...], sh, B), cf, P1, P2)
+        s_d1[...] = d1
+        d2 = _step(_roll_mask(s_d2[...], -sh, B), cf, P1, P2)
+        s_d2[...] = d2
+        out_ref[g] = h_ref[g] + (v + d1 + d2).astype(jnp.int16)
+
+
+def _tri_dir_wta_kernel_windowed(
+    off_ref, c_ref, p_ref, out_ref, s_v, s_d1, s_d2, *, P1, P2, G, reverse, uniq
+):
+    """Windowed final walk + in-register WTA.  Emits the *window-local*
+    disparity with the min_disp=1 sentinel of c2f.wta_disparity_windowed
+    (0 = invalid; the caller shifts by the per-row window start)."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        s_v[...] = jnp.full_like(s_v, 255)
+        s_d1[...] = jnp.full_like(s_d1, 255)
+        s_d2[...] = jnp.full_like(s_d2, 255)
+
+    _windowed_realign(off_ref, (s_v, s_d1, s_d2), i=i, n=n, reverse=reverse)
+
+    B, D = s_v.shape
+    sh = -1 if reverse else 1
+    for g0 in range(G):
+        g = G - 1 - g0 if reverse else g0
+        cf = _to_f32(c_ref[g])
+        v = _step(s_v[...], cf, P1, P2)
+        s_v[...] = v
+        d1 = _step(_roll_mask(s_d1[...], sh, B), cf, P1, P2)
+        s_d1[...] = d1
+        d2 = _step(_roll_mask(s_d2[...], -sh, B), cf, P1, P2)
+        s_d2[...] = d2
+        total = p_ref[g].astype(jnp.float32) + (v + d1 + d2)
+        out_ref[g] = _wta_row(total, D=D, min_disp=1, uniq=uniq)
+
+
+def _run_tri_dir_partial_windowed(
+    cost, hsum, wstart_tiles, tile_rows, P1, P2, reverse, interpret=False
+):
+    S, B, D = cost.shape
+    G = tile_rows
+    assert S % G == 0
+    n_blocks = S // G
+    kernel = functools.partial(
+        _tri_dir_partial_kernel_windowed, P1=P1, P2=P2, G=G, reverse=reverse
+    )
+    blk = (G, B, D)
+    if reverse:
+        idx = lambda i, off: (n_blocks - 1 - i, 0, 0)
+    else:
+        idx = lambda i, off: (i, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(blk, idx), pl.BlockSpec(blk, idx)],
+        out_specs=pl.BlockSpec(blk, idx),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32) for _ in range(3)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, B, D), jnp.int16),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(wstart_tiles.astype(jnp.int32), cost, hsum)
+
+
+def _run_tri_dir_wta_windowed(
+    cost, partial, wstart_tiles, tile_rows, P1, P2, reverse, uniq, interpret=False
+):
+    S, B, D = cost.shape
+    G = tile_rows
+    assert S % G == 0
+    n_blocks = S // G
+    kernel = functools.partial(
+        _tri_dir_wta_kernel_windowed, P1=P1, P2=P2, G=G, reverse=reverse, uniq=uniq
+    )
+    blk = (G, B, D)
+    if reverse:
+        idx = lambda i, off: (n_blocks - 1 - i, 0, 0)
+        idx2 = lambda i, off: (n_blocks - 1 - i, 0)
+    else:
+        idx = lambda i, off: (i, 0, 0)
+        idx2 = lambda i, off: (i, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(blk, idx), pl.BlockSpec(blk, idx)],
+        out_specs=pl.BlockSpec((G, B), idx2),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32) for _ in range(3)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, B), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(wstart_tiles.astype(jnp.int32), cost, partial)
+
+
+def sgm_wta_fused_pallas_windowed(
+    cost: jnp.ndarray,
+    wstart_tiles: jnp.ndarray,
+    P1: int,
+    P2: int,
+    directions: int,
+    uniqueness_ratio: int = 1,
+    tile_rows: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused aggregation + WTA over a windowed volume: (H, W, Dw) uint8 ->
+    (H, W) float32 *window-local* disparity (min_disp=1 sentinel, 0 =
+    invalid), bit-identical to wta_disparity_windowed's local stage applied
+    to sgm_aggregate_pallas_windowed.  Caller applies the off_rows shift."""
+    assert directions in (5, 8)
+    c = cost if cost.dtype == jnp.uint8 else cost.astype(jnp.uint8)
+
+    cT = jnp.transpose(c, (1, 0, 2))
+    hf, hb = _run_pair(cT, P1, P2, interpret=interpret)
+    hsum = (
+        jnp.transpose(hf, (1, 0, 2)).astype(jnp.int16)
+        + jnp.transpose(hb, (1, 0, 2)).astype(jnp.int16)
+    )
+    if directions == 5:
+        return _run_tri_dir_wta_windowed(
+            c, hsum, wstart_tiles, tile_rows, P1, P2, reverse=False,
+            uniq=uniqueness_ratio, interpret=interpret,
+        )
+    partial = _run_tri_dir_partial_windowed(
+        c, hsum, wstart_tiles, tile_rows, P1, P2, reverse=False, interpret=interpret
+    )
+    return _run_tri_dir_wta_windowed(
+        c, partial, wstart_tiles, tile_rows, P1, P2, reverse=True,
+        uniq=uniqueness_ratio, interpret=interpret,
+    )
 
 
 def sgm_aggregate_pallas_windowed(
