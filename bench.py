@@ -127,7 +127,12 @@ def bench_accuracy():
     W, H = int(os.environ.get("WASS_BENCH_ACC_W", "1536")), int(os.environ.get("WASS_BENCH_ACC_H", "1152"))
     n_frames = int(os.environ.get("WASS_BENCH_ACC_FRAMES", "8"))
     n_stereo = 2
-    D = 192
+    # Full disparity coverage: this rig needs ~220 px of disparity at the
+    # bottom rows at 1536 wide (measured p99 hits a D=192 cap); starved
+    # pixels match garbage and blow the elevation error, so search 256
+    # like the reference always searching its full range
+    # (wass_stereo.cpp:742-744).  The c2f windowed path keeps it cheap.
+    D = 256
 
     rng = np.random.default_rng(11)
     rig = make_rig(width=W, height=H, rng=rng)

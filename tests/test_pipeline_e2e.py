@@ -63,6 +63,12 @@ class TestSequencePipeline:
         # inside the reference's full-scale gates (5e-3 / 2e-2).
         assert np.abs(res.R - rig.R).max() < 5e-3
         assert np.abs(res.T.ravel() - Tg).max() < 1e-2
+        # The refined pose must actually be broadcast to every workdir
+        # (reference writes unconditionally, wass_autocalibrate.cpp:366-377;
+        # a round-3 bug gated this on BA-beats-init and left the stereo
+        # stage consuming the inferior per-frame match poses).
+        for wd in wds:
+            np.testing.assert_allclose(wd.load_extrinsics()[0], res.R, atol=1e-12)
 
         # Stereo on all frames.
         planes = pipe.stereo()

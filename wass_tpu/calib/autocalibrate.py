@@ -156,9 +156,15 @@ def autocalibrate_sequence(workdirs: Sequence, cfg: AutocalConfig = AutocalConfi
     uv0 = np.concatenate(uv0_all)
     uv1 = np.concatenate(uv1_all)
     res = autocalibrate_pooled(uv0, uv1, K0, K1, cfg)
-    if res is not None and res.improved:
-        # 0->1 pixel-match homography (cv::findHomography equivalent via
-        # normalized DLT on all pooled matches, wass_autocalibrate.cpp:359).
+    if res is not None:
+        # Broadcast unconditionally on success like the reference
+        # (wass_autocalibrate.cpp:366-377 always writes the final
+        # extrinsics): res carries the accept-if-better selection between
+        # the BA refinement and the pooled RANSAC pose, and either beats
+        # the per-frame match poses sitting in the workdirs.  Gating the
+        # broadcast on `improved` left those per-frame poses in place
+        # whenever BA could not better its own (already pooled) init —
+        # ~30x worse extrinsics silently fed to the stereo stage.
         H = _pixel_homography(uv0, uv1)
         for wd in workdirs:
             wd.save_extrinsics(res.R, res.T)
