@@ -95,6 +95,40 @@ class TestGridsurfaceCLI:
 
 
 class TestMainCLI:
+    def test_measure(self, reconstructed_seq):
+        """The wass_stereo --measure equivalent: distance between two
+        reconstructed points addressed by cam0 pixel coordinates."""
+        from wass_tpu.cli.main import cli
+        from wass_tpu.io.workdir import Workdir
+
+        seq, _rig = reconstructed_seq
+        wd = Workdir(sorted(seq.glob("*_wd"))[0])
+        mesh = wd.load_mesh_cam()
+        K0 = wd.load_intrinsics(0)
+        uv = K0 @ mesh
+        uv = uv[:2] / uv[2:3]
+        i, j = 10, mesh.shape[1] - 10
+        expected = float(np.linalg.norm(mesh[:, i] - mesh[:, j]))
+        runner = CliRunner()
+        r = runner.invoke(cli, [
+            "measure", str(wd.path),
+            f"{uv[0][i]:.2f}", f"{uv[1][i]:.2f}", f"{uv[0][j]:.2f}", f"{uv[1][j]:.2f}",
+            "--baseline", "2.5",
+        ])
+        assert r.exit_code == 0, r.output
+        got = float(r.output.split("distance: ")[1].split()[0])
+        assert abs(got - expected) < 5e-2 * max(expected, 1.0)
+        assert f"{expected * 2.5:.3f}"[:5] in r.output or "m (baseline" in r.output
+
+    def test_measure_rejects_far_pixel(self, reconstructed_seq):
+        from wass_tpu.cli.main import cli
+
+        seq, _rig = reconstructed_seq
+        wd = sorted(seq.glob("*_wd"))[0]
+        r = CliRunner().invoke(cli, ["measure", str(wd), "1e6", "1e6", "0", "0"])
+        assert r.exit_code != 0
+        assert "no reconstructed point" in r.output
+
     def test_genconfig(self, tmp_path):
         from wass_tpu.cli.main import cli
 

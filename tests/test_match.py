@@ -117,3 +117,31 @@ class TestMatchStage:
         # Pose gates (verify_matcher.m:7-8), relaxed ~3x for resolution.
         assert np.abs(res.R - rig.R).max() < 2e-2
         assert np.abs(res.T.ravel() - Tg).max() < 5e-2
+
+    def test_degraded_imagery_gates(self):
+        """Matcher robustness on degraded frames: JPEG compression (the
+        reference's own robustness study, test/jpeg_compression_test.m:31-40)
+        plus additive sensor noise on top.  Gates as above, relaxed ~2x —
+        a matcher that needs pristine floats is useless on real camera data.
+        The full-resolution sweep is bench/robustness.py."""
+        sc = make_scene(seed=3, width=512, height=384, wave_amplitude=0.25)
+        rig = sc.rig
+        deg = []
+        rng = np.random.default_rng(7)
+        for img, nseed in ((sc.img0, 1), (sc.img1, 2)):
+            noisy = np.clip(
+                np.asarray(img, np.float64)
+                + np.random.default_rng(nseed).standard_normal(img.shape) * 3.0,
+                0, 255,
+            ).astype(np.uint8)
+            ok, buf = cv2.imencode(".jpg", noisy, [cv2.IMWRITE_JPEG_QUALITY, 80])
+            assert ok
+            deg.append(cv2.imdecode(buf, cv2.IMREAD_GRAYSCALE).astype(np.float32))
+        cfg = MatchConfig(num_features=1500, iidyn_iters=8000, max_rounds=10, hessian_threshold=3e-5, feature_grid_cell=8)
+        res = match_frame(deg[0], deg[1], rig.K0, rig.K1, cfg)
+        assert res is not None
+        assert res.n_matches >= 40
+        assert res.epi_avg <= 1.0
+        Tg = rig.T / np.linalg.norm(rig.T)
+        assert np.abs(res.R - rig.R).max() < 4e-2
+        assert np.abs(res.T.ravel() - Tg).max() < 1e-1

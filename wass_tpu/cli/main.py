@@ -139,6 +139,74 @@ def stereo(outdir):
 
 
 @cli.command()
+@click.argument("workdir", type=click.Path(exists=True))
+@click.argument("pixels", nargs=-1, type=float)
+@click.option("--baseline", type=float, default=None,
+              help="camera baseline in meters; scales the reported distance "
+              "from baseline units to meters")
+@click.option("--radius", type=float, default=10.0,
+              help="max pixel distance between a requested pixel and the "
+              "nearest reconstructed point")
+@click.option("--interactive", is_flag=True, default=False,
+              help="pick the two points by clicking on the cam0 image "
+              "(requires a display)")
+def measure(workdir, pixels, baseline, radius, interactive):
+    """Two-point 3D distance on a reconstructed frame.
+
+    The wass_stereo --measure workflow (wass_stereo.cpp:1934-1973): the
+    reference pops an interactive PointPicker (PointPicker.hpp:24-189) over
+    the stereo pair and reports the distance between two triangulated
+    points.  Here the points are given as cam0 pixel coordinates
+    `U0 V0 U1 V1` (or clicked via --interactive when a display exists);
+    each is snapped to the nearest reconstructed mesh point reprojected
+    through K0."""
+    from wass_tpu.io.workdir import Workdir
+    from wass_tpu.stereo.meshops import measure_distance
+
+    wd = Workdir(Path(workdir))
+    if interactive:
+        import matplotlib.pyplot as plt
+
+        img = wd.load_undistorted(0)
+        fig, ax = plt.subplots()
+        ax.imshow(img, cmap="gray")
+        ax.set_title("click two points")
+        picked = plt.ginput(2, timeout=0)
+        plt.close(fig)
+        if len(picked) != 2:
+            raise click.ClickException("need exactly two clicked points")
+        pixels = [c for uv in picked for c in uv]
+    if len(pixels) != 4:
+        raise click.ClickException("expected 4 coordinates: U0 V0 U1 V1 (or --interactive)")
+
+    mesh = wd.load_mesh_cam()  # (3, N) cam0-frame, baseline units
+    if mesh.shape[1] == 0:
+        raise click.ClickException("empty mesh_cam.xyzC")
+    K0 = wd.load_intrinsics(0)
+    uv = (K0 @ mesh)
+    uv = uv[:2] / uv[2:3]  # (2, N)
+
+    picked_pts = []
+    for (u, v) in ((pixels[0], pixels[1]), (pixels[2], pixels[3])):
+        d2 = (uv[0] - u) ** 2 + (uv[1] - v) ** 2
+        j = int(np.argmin(d2))
+        if d2[j] > radius * radius:
+            raise click.ClickException(
+                f"no reconstructed point within {radius:g} px of ({u:g}, {v:g})"
+            )
+        p = mesh[:, j]
+        click.echo(f"({u:g}, {v:g}) -> point #{j} at "
+                   f"[{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}] "
+                   f"(reprojects to {uv[0][j]:.1f}, {uv[1][j]:.1f})")
+        picked_pts.append(p)
+
+    dist = float(measure_distance(picked_pts[0], picked_pts[1]))
+    click.echo(f"distance: {dist:.6f} baseline units")
+    if baseline is not None:
+        click.echo(f"distance: {dist * baseline:.6f} m (baseline {baseline:g} m)")
+
+
+@cli.command()
 @click.argument("outdir", type=click.Path())
 @click.option("--stage", type=click.Choice(["prepare", "matcher", "stereo"]), default="stereo")
 def genconfig(outdir, stage):
