@@ -94,3 +94,35 @@ class TestAutocalibrate:
         assert np.abs(res.T.ravel() - T).max() < 2e-2
         # BA must not degrade the RANSAC+GN initialization (f32 jitter slack).
         assert res.epi_avg_after <= res.epi_avg_before + 1e-4
+
+    def test_f64_polish_beats_f32_floor(self, rng):
+        """The final host polish (polish_pose_f64) must recover rotation
+        below the f32 device-polish floor (~1e-4 rad) when match noise
+        sits at the LK-refined level (~3e-6 normalized, quality.md)."""
+        from wass_tpu.calib.ba import polish_pose_f64
+
+        R, T, pts, p0, p1 = make_two_view(rng, n=2000, noise=3e-6)
+        dR, _ = cv2.Rodrigues(np.array([4e-4, -3e-4, 2e-4]))
+        R0 = dR @ R
+        T0 = T + np.array([1e-3, -8e-4, 5e-4])
+        T0 = T0 / np.linalg.norm(T0)
+        Rr, Tr, rms0, rms1 = polish_pose_f64(R0, T0, p0, p1, np.ones(len(p0)))
+        assert rms1 <= rms0
+        assert np.abs(Rr - R).max() < 3e-5        # 20x under the f32 floor
+        assert np.abs(Tr - T).max() < 3e-4
+
+    def test_pooled_reduction_f64_precision(self, rng):
+        """End-to-end pooled reduction at realistic pooled-inlier counts and
+        the LK noise floor: dR must land well under the ~6e-4 residual the
+        f32-only polish measured (ACCURACY_r03 decomposition)."""
+        K = np.array([[1400.0, 0, 1024], [0, 1400, 768], [0, 0, 1]])
+        R, T, pts, p0n, p1n = make_two_view(rng, n=2500, noise=0.01 / 1400, planar=True)
+        # Contaminating tail like the production pool (few-% gross mismatches).
+        out = rng.random(len(p0n)) < 0.03
+        p1n[out] += rng.uniform(-0.02, 0.02, (int(out.sum()), 2))
+        uv0 = p0n * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+        uv1 = p1n * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+        res = autocalibrate_pooled(uv0, uv1, K, K, AutocalConfig(max_points=4096))
+        assert res is not None
+        assert np.abs(res.R - R).max() < 1e-4
+        assert np.abs(res.T.ravel() - T).max() < 1e-3

@@ -30,8 +30,8 @@ from wass_tpu.match.pose import relative_pose_ransac
 class AutocalResult(NamedTuple):
     R: np.ndarray  # refined cam0->cam1 rotation
     T: np.ndarray  # refined translation, unit norm
-    epi_avg_before: float
-    epi_avg_after: float
+    epi_avg_before: float  # median Sampson px over pooled inliers, RANSAC pose
+    epi_avg_after: float  # same metric under the returned pose (never worse)
     n_inliers: int
     improved: bool
 
@@ -151,7 +151,6 @@ def autocalibrate_pooled(
         F = jnp.asarray(K1i.T, jnp.float32) @ E @ jnp.asarray(K0i, jnp.float32)
         return F, epipolar_error_stats(F, uv0j, uv1j, mask)
 
-    final_avg = float(after.avg) if improved else float(before.avg)
     rounds = max(0, cfg.polish_rounds)
     if rounds:
         # Cauchy-IRLS with annealed scale.  The pooled "inlier" set still
@@ -162,9 +161,26 @@ def autocalibrate_pooled(
         # smoothly (w = 1/(1 + (d/2s)^2)) and shrink s geometrically from
         # the RANSAC threshold to the genuine-match noise floor; inliers'
         # residuals collapse with the pose while outliers' weights vanish.
-        scales = np.geomspace(
-            cfg.ransac_threshold_px, cfg.polish_final_threshold_px, rounds
+        # Anneal down to the MEASURED noise level, clamped below by the
+        # configured floor: with LK-refined production matches (~0.01 px)
+        # the floor applies, but with coarser matches (e.g. 0.4 px) a
+        # fixed 0.05 px final scale would fit only the central fraction
+        # of the noise distribution that happens to agree with the
+        # current pose — a biased subset on quasi-planar scenes where
+        # the T direction is weakly constrained.  The median Sampson
+        # distance of the RANSAC inliers is robust to the gross tail.
+        _t = np.asarray(Tf, np.float64).reshape(3)
+        _sk = np.array([[0, -_t[2], _t[1]], [_t[2], 0, -_t[0]], [-_t[1], _t[0], 0]])
+        F_init = K1i.T @ (_sk @ np.asarray(Rf, np.float64)) @ K0i
+        d_init = np.asarray(
+            sampson_distance(jnp.asarray(F_init, jnp.float32), uv0j, uv1j)
+        )[: len(p0n)][good[: len(p0n)]]
+        noise_px = 1.4826 * float(np.median(d_init)) if d_init.size else 0.0
+        s_final = min(
+            max(cfg.polish_final_threshold_px, noise_px),
+            0.99 * cfg.ransac_threshold_px,
         )
+        scales = np.geomspace(cfg.ransac_threshold_px, s_final, rounds)
         gmask = jnp.asarray(good)
         min_fit = max(24, int(0.1 * int(good.sum())))
         f_px = 0.5 * (K0[0, 0] + K1[0, 0])  # px scale -> normalized coords
@@ -188,14 +204,64 @@ def autocalibrate_pooled(
         if int(core.sum()) >= min_fit:
             Rf, Tf = Rp, Tp
             improved = True
-            _, stats = _px_stats(Rf, Tf, core)
-            final_avg = float(stats.avg)
+            # Final float64 host polish on the core set with Cauchy
+            # weights frozen at the last annealed scale: the device
+            # polish runs in f32, which floors the recoverable rotation
+            # near 1e-4 rad (see polish_pose_f64); one double-precision
+            # LM pass removes that floor at O(N)/iter host cost.
+            from wass_tpu.calib.ba import polish_pose_f64
+
+            d_np = np.array(df, np.float64)[: len(p0n)]
+            good_np = good[: len(p0n)]
+            # Robust scale from ALL pooled inliers, not the core subset:
+            # the core is pre-selected to agree with the polished pose
+            # (df < 3*floor), so its spread self-confirms any bias.  The
+            # median over the full inlier pool tracks the genuine match
+            # noise (robust to the few-percent gross-mismatch tail):
+            # ~0.01 px for LK-refined production matches (-> the floor
+            # clamp engages and f64 removes the f32 precision limit),
+            # ~0.4 px for unrefined matches (-> weights widen and the
+            # fit stays unbiased).
+            mad = float(np.median(d_np[good_np])) if good_np.any() else 0.0
+            s_px = max(1.4826 * mad, float(scales[-1]))
+            w_np = np.where(good_np, 1.0 / (1.0 + (d_np / (2.0 * s_px)) ** 2), 0.0)
+            R64, T64, rms0, rms1 = polish_pose_f64(Rf, Tf, p0n, p1n, w_np)
+            if rms1 <= rms0:
+                _, st_f32 = _px_stats(Rf, Tf, core)
+                _, st_f64 = _px_stats(R64, T64, core)
+                if float(st_f64.avg) <= float(st_f32.avg) * (1.0 + 1e-6):
+                    Rf, Tf = R64, T64
+    # --- Final accept-if-better + reported error fields ------------------
+    # Host-f64 MEDIAN Sampson distance over the pooled inliers: the raw
+    # mean is dominated by the near-threshold tail RANSAC admitted under
+    # its own pose, so two statistically-equivalent poses can invert it
+    # by fractions of a percent.  The median tracks the bulk error the
+    # robust estimator actually minimizes, and mirrors the reference's
+    # accept-only-if-better contract (wass_autocalibrate.cpp:363-382).
+    def _samp_med_px(Rc, Tc):
+        Tc = np.asarray(Tc, np.float64).reshape(3)
+        sk = np.array([[0, -Tc[2], Tc[1]], [Tc[2], 0, -Tc[0]], [-Tc[1], Tc[0], 0]])
+        F = K1i.T @ (sk @ np.asarray(Rc, np.float64)) @ K0i
+        x0 = np.c_[uv0.astype(np.float64), np.ones(len(uv0))]
+        x1 = np.c_[uv1.astype(np.float64), np.ones(len(uv1))]
+        Fx0 = x0 @ F.T
+        Ftx1 = x1 @ F
+        num = np.abs(np.sum(x1 * Fx0, -1))
+        d = num / np.sqrt(Fx0[:, 0] ** 2 + Fx0[:, 1] ** 2 + Ftx1[:, 0] ** 2 + Ftx1[:, 1] ** 2 + 1e-300)
+        return float(np.median(d[good[: len(uv0)]]))
+
+    before_med = _samp_med_px(R, T)
+    final_med = _samp_med_px(Rf, Tf)
+    if final_med > before_med:
+        Rf, Tf = R, T
+        final_med = before_med
+        improved = False
 
     return AutocalResult(
         R=Rf,
         T=np.asarray(Tf).reshape(3, 1),
-        epi_avg_before=float(before.avg),
-        epi_avg_after=final_avg,
+        epi_avg_before=before_med,
+        epi_avg_after=final_med,
         n_inliers=int(good.sum()),
         improved=improved,
     )

@@ -268,3 +268,96 @@ def lm_refine_pose_epipolar(
         initial_rms=jnp.sqrt(c0 / n_eff),
         final_rms=jnp.sqrt(c_final / n_eff),
     )
+
+
+# --------------------------------------------------------------------------
+# Final float64 host polish
+# --------------------------------------------------------------------------
+
+
+def polish_pose_f64(R_init, T_init, p0, p1, weights, max_iters=60):
+    """Host float64 LM Sampson polish (5 dof) over fixed-weight matches.
+
+    The on-device polish above runs in float32: a genuine LK-refined
+    match has a normalized Sampson residual of ~3e-6 at f~1.5e3 px,
+    right at f32 resolution around unit-scale image coordinates, which
+    floors the recoverable rotation error near 1e-4 rad.  This numpy
+    float64 pass (numeric central-difference Jacobian over the 5-dof
+    tangent, O(N) per iteration, N ~ thousands) removes that floor.
+    The reference counterpart runs in double throughout
+    (/root/reference/src/wass_autocalibrate/sba_driver.cpp).
+
+    Returns (R, T_unit, rms_before, rms_after) in float64; the weighted
+    cost is monotone non-increasing so the result never regresses.
+    """
+    import numpy as np
+
+    R0 = np.asarray(R_init, np.float64)
+    T0 = np.asarray(T_init, np.float64).reshape(3)
+    T0 = T0 / np.linalg.norm(T0)
+    a = np.array([1.0, 0, 0]) if abs(T0[0]) < 0.9 else np.array([0, 1.0, 0])
+    b1 = np.cross(T0, a); b1 /= np.linalg.norm(b1)
+    B = np.stack([b1, np.cross(T0, b1)], axis=-1)  # (3, 2)
+
+    x0 = np.concatenate([np.asarray(p0, np.float64), np.ones((len(p0), 1))], -1)
+    x1 = np.concatenate([np.asarray(p1, np.float64), np.ones((len(p1), 1))], -1)
+    sw = np.sqrt(np.maximum(np.asarray(weights, np.float64), 0.0))
+    n_eff = max(float((sw ** 2).sum()), 1.0)
+
+    def rodr(w):
+        th = np.linalg.norm(w)
+        K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+        if th < 1e-12:
+            return np.eye(3) + K
+        K /= th
+        return np.eye(3) + np.sin(th) * K + (1.0 - np.cos(th)) * (K @ K)
+
+    def residual(theta):
+        R = rodr(theta[:3]) @ R0
+        T = T0 + B @ theta[3:]
+        T = T / np.linalg.norm(T)
+        E = np.array([[0, -T[2], T[1]], [T[2], 0, -T[0]], [-T[1], T[0], 0]]) @ R
+        Ex0 = x0 @ E.T
+        Etx1 = x1 @ E
+        num = np.sum(x1 * Ex0, -1)
+        den = Ex0[:, 0] ** 2 + Ex0[:, 1] ** 2 + Etx1[:, 0] ** 2 + Etx1[:, 1] ** 2
+        return sw * num / np.sqrt(den + 1e-300)
+
+    def cost(theta):
+        r = residual(theta)
+        return float(r @ r)
+
+    theta = np.zeros(5)
+    lam = 1e-6
+    c_prev = c0 = cost(theta)
+    h = 1e-7
+    for _ in range(max_iters):
+        J = np.empty((len(x0), 5))
+        for k in range(5):
+            e = np.zeros(5); e[k] = h
+            J[:, k] = (residual(theta + e) - residual(theta - e)) / (2 * h)
+        r = residual(theta)
+        Hm = J.T @ J
+        g = J.T @ r
+        ok = False
+        for _ in range(8):
+            try:
+                dtheta = np.linalg.solve(Hm + lam * np.diag(np.diag(Hm) + 1e-300), g)
+            except np.linalg.LinAlgError:
+                lam *= 10; continue
+            c_new = cost(theta - dtheta)
+            if c_new < c_prev:
+                theta = theta - dtheta
+                lam = max(lam * 0.3, 1e-12)
+                rel = (c_prev - c_new) / max(c_prev, 1e-300)
+                c_prev = c_new
+                ok = True
+                break
+            lam = min(lam * 5.0, 1e10)
+        if not ok or rel < 1e-14:
+            break
+
+    R = rodr(theta[:3]) @ R0
+    T = T0 + B @ theta[3:]
+    T = T / np.linalg.norm(T)
+    return R, T, np.sqrt(c0 / n_eff), np.sqrt(c_prev / n_eff)
