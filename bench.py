@@ -206,7 +206,12 @@ def main():
         # WASS_BENCH_D=640 measures the reference design point
         # (MAX_DISPARITY=640, wass_stereo.cpp:742-744): the c2f windowed
         # path makes frame time nearly independent of the search range.
-        W, H, D = 2048, 1536, int(os.environ.get("WASS_BENCH_D", "256"))
+        # WASS_BENCH_W/H=2560/1920 measures the full 5 MP reference rig
+        # (doc/src/render/documentation/stereo.html.md:13-16), where the
+        # >3e6-point density gate (verify_meshes.m:8) applies natively.
+        W = int(os.environ.get("WASS_BENCH_W", "2048"))
+        H = int(os.environ.get("WASS_BENCH_H", "1536"))
+        D = int(os.environ.get("WASS_BENCH_D", "256"))
 
     import jax
 
