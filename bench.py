@@ -146,8 +146,11 @@ def bench_accuracy():
     root = Path("/tmp/wass_bench_acc")
     shutil.rmtree(root, ignore_errors=True)
     cfg = SequenceConfig(
-        match=MatchConfig(num_features=2000, iidyn_iters=8000, max_rounds=12,
-                          hessian_threshold=3e-5, feature_grid_cell=8),
+        # Production-default matcher: the lowered-hessian/dense-grid
+        # overrides previously used here produce ~6x fewer, weaker
+        # matches (measured in bench/robustness.py), and the pooled-BA
+        # rotation residual is data-limited, not precision-limited.
+        match=MatchConfig(),
         stereo=DenseStereoConfig(num_disp=D, min_disp=1,
                                  plane_ransac_threshold=0.1, plane_max_distance=0.3),
         debug_renders=False,
