@@ -134,8 +134,7 @@ def bench_accuracy():
     # (wass_stereo.cpp:742-744).  The c2f windowed path keeps it cheap.
     D = 256
 
-    rng = np.random.default_rng(11)
-    rig = make_rig(width=W, height=H, rng=rng)
+    rig = make_rig(width=W, height=H)
     frames, gts = [], []
     for i in range(n_frames):
         print(f"# scene {i+1}/{n_frames}...", file=sys.stderr)

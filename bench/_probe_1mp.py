@@ -7,8 +7,7 @@ from wass_tpu.match.pipeline import MatchConfig, match_frame
 from wass_tpu.stereo.dense import DenseStereoConfig, dense_stereo_frame
 
 W, H = 1024, 768
-rng = np.random.default_rng(11)
-rig = make_rig(width=W, height=H, rng=rng)
+rig = make_rig(width=W, height=H)
 t0=time.time()
 s = make_scene(seed=100, width=W, height=H, wave_amplitude=0.25, rig=rig, time=0.0)
 print(f"scene {time.time()-t0:.1f}s")

@@ -6,8 +6,7 @@ from wass_tpu.testing import make_scene, make_rig
 from wass_tpu.match.pipeline import MatchConfig, match_frame
 
 W, H = 1024, 768
-rng = np.random.default_rng(11)
-rig = make_rig(width=W, height=H, rng=rng)
+rig = make_rig(width=W, height=H)
 s = make_scene(seed=100, width=W, height=H, wave_amplitude=0.25, rig=rig, time=0.0)
 cfg = MatchConfig(num_features=1500, iidyn_iters=6000, max_rounds=10,
                   hessian_threshold=3e-5, feature_grid_cell=8)

@@ -81,7 +81,7 @@ def main():
     W, H = 1024, 768
     match_only = os.environ.get("WASS_ROBUST_MATCH_ONLY", "0") == "1"
 
-    cache = f"/tmp/wass_robust_scene_{W}x{H}_rig11.npz"
+    cache = f"/tmp/wass_robust_scene_{W}x{H}_rig.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         from wass_tpu.testing.synthetic import SyntheticRig
@@ -95,7 +95,7 @@ def main():
         # degradation sweep with rig hardness.
         from wass_tpu.testing import make_rig
 
-        rig = make_rig(width=W, height=H, rng=np.random.default_rng(11))
+        rig = make_rig(width=W, height=H)
         sc = make_scene(seed=17, width=W, height=H, wave_amplitude=0.25, rig=rig)
         rig = sc.rig
         img0, img1, points0 = sc.img0, sc.img1, sc.points0

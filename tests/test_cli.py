@@ -20,7 +20,7 @@ def reconstructed_seq(tmp_path_factory):
     out = tmp_path_factory.mktemp("seq")
     W, H = 256, 192
     rng = np.random.default_rng(5)
-    rig = make_rig(width=W, height=H, rng=rng)
+    rig = make_rig(width=W, height=H)
     scenes = [
         make_scene(seed=200 + i, width=W, height=H, wave_amplitude=0.25, rig=rig, time=i * 0.25)
         for i in range(4)

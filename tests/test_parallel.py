@@ -106,6 +106,62 @@ class TestShardedRunner:
         )
 
 
+class TestFallbackGranularity:
+    def test_only_tripped_frames_rerun(self, rng):
+        """When one frame of a batch trips the c2f fallback, ONLY that
+        frame is recomputed (single-frame full-range program); the other
+        frames' shard buffers are reused bit-for-bit."""
+        from wass_tpu.parallel.runner import ShardedDenseRunner
+        from wass_tpu.stereo.dense import DenseStereoConfig
+        from wass_tpu.testing import make_scene
+        from wass_tpu.stereo.dense import build_geom_pack, prepare_frame_geometry
+
+        h, w, F = 64, 96, 8
+        sc = make_scene(seed=5, width=w, height=h, wave_amplitude=0.25)
+        rig = sc.rig
+        cfg = DenseStereoConfig(
+            num_disp=16, min_disp=1, plane_ransac_rounds=64,
+            plane_ransac_threshold=0.1, plane_max_distance=0.3,
+        )
+        geom = prepare_frame_geometry(rig.K0, rig.K1, rig.R, rig.T, (w, h))
+        gp = build_geom_pack(geom, (h, w))
+        b_img, m_img = (sc.img0, sc.img1) if geom.base_is_cam0 else (sc.img1, sc.img0)
+        stack = lambda x: np.broadcast_to(np.asarray(x, np.float32), (F, h, w)).copy()
+        bb, mb = stack(b_img), stack(m_img)
+
+        # Control: no fallback.
+        control = ShardedDenseRunner(make_frame_mesh(F), cfg)
+        res0, rects0, info0, _ = control.run_batch(bb, mb, [gp] * F)
+        assert info0["fallback_frames"] == [] and control.n_fallback_reruns == 0
+
+        # Trip frame 3 only (c2f is inactive on the CPU mesh, so drive the
+        # selection hook directly — the mechanics under test are the
+        # re-run granularity and the shard splice, not the c2f metric).
+        runner = ShardedDenseRunner(make_frame_mesh(F), cfg)
+        runner._select_fallback = lambda cov, offb, shape: [3]
+        res, rects, info, mean_plane = runner.run_batch(bb, mb, [gp] * F)
+        assert info["fallback_frames"] == [3]
+        assert runner.n_fallback_reruns == 1
+
+        # Non-tripped frames: identical buffers (reused, not recomputed).
+        for k in range(F):
+            if k == 3:
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(res.points)[k], np.asarray(res0.points)[k]
+            )
+            np.testing.assert_array_equal(
+                np.asarray(res.disparity)[k], np.asarray(res0.disparity)[k]
+            )
+        # The re-run frame agrees with the full-range result (identical
+        # math, different program partitioning -> allclose not equality).
+        np.testing.assert_allclose(
+            np.asarray(res.plane)[3], np.asarray(res0.plane)[3], atol=5e-4
+        )
+        assert abs(int(np.asarray(res.n_points)[3]) - int(np.asarray(res0.n_points)[3])) <= 16
+        assert np.all(np.isfinite(np.asarray(mean_plane)))
+
+
 class TestFrameSharding:
     def test_sharded_batch_reduction(self):
         mesh = make_frame_mesh(8)

@@ -13,6 +13,58 @@ from wass_tpu.stereo.dense import DenseStereoConfig
 from wass_tpu.io.xyzc import load_camera_mesh
 
 
+class TestShardedExportParity:
+    def test_sharded_xyzc_matches_pipelined(self, tmp_path):
+        """The sharded path must export through the SAME device-side
+        quantize+compact route as the pipelined path: equivalent .xyzC
+        artifacts (point count, decoded cloud statistics), not a re-upload
+        of host-fetched f32 grids (round-3 regression: cli/pipeline.py
+        fetched every result leaf per frame)."""
+        from wass_tpu.io.xyzc import load_camera_mesh
+
+        W, H, F = 96, 64, 4
+        rig = make_rig(width=W, height=H)
+        scenes = [
+            make_scene(seed=300 + i, width=W, height=H, wave_amplitude=0.25,
+                       rig=rig, time=i * 0.25)
+            for i in range(F)
+        ]
+        cfg = SequenceConfig(
+            stereo=DenseStereoConfig(num_disp=16, min_disp=1,
+                                     plane_ransac_rounds=64,
+                                     plane_ransac_threshold=0.1,
+                                     plane_max_distance=0.3),
+            debug_renders=False,
+        )
+        pipe = SequencePipeline(tmp_path / "seq", cfg)
+        zeros = np.zeros(5)
+        wds = pipe.prepare(
+            [(s.img0, s.img1) for s in scenes], rig.K0, zeros, rig.K1, zeros,
+            ext_R=rig.R, ext_T=rig.T,
+        )
+
+        planes_sh = pipe._stereo_sharded(wds)
+        sharded = [
+            (wd.path / "mesh_cam.xyzC").read_bytes() for wd in wds
+        ]
+        planes_pl = pipe._stereo_pipelined(wds)
+        for i, wd in enumerate(wds):
+            np.testing.assert_allclose(planes_sh[i], planes_pl[i], atol=5e-4)
+            mesh_pl = load_camera_mesh(wd.path / "mesh_cam.xyzC")
+            (wd.path / "mesh_sh.xyzC").write_bytes(sharded[i])
+            mesh_sh = load_camera_mesh(wd.path / "mesh_sh.xyzC")
+            # Same compaction order, same quantization contract; point
+            # counts may differ by a handful (different XLA partitioning).
+            n_pl, n_sh = mesh_pl.shape[1], mesh_sh.shape[1]
+            assert abs(n_pl - n_sh) <= max(16, 0.01 * n_pl)
+            n = min(n_pl, n_sh)
+            assert n > 0.3 * W * H
+            # Decoded clouds agree pointwise up to quantization + the
+            # plane-fit tolerance.
+            d = np.abs(mesh_pl[:, :n] - mesh_sh[:, :n])
+            assert np.quantile(d, 0.99) < 0.05
+
+
 @pytest.mark.slow
 class TestSequencePipeline:
     def test_full_pipeline(self, tmp_path):
@@ -23,7 +75,7 @@ class TestSequencePipeline:
         # (~1000 pooled matches) pin it to dR ~ 7e-5 stably.
         n_frames = 6
         rng = np.random.default_rng(11)
-        rig = make_rig(width=W, height=H, rng=rng)
+        rig = make_rig(width=W, height=H)
         scenes = [
             make_scene(seed=100 + i, width=W, height=H, wave_amplitude=0.25, rig=rig, time=i * 0.2)
             for i in range(n_frames)

@@ -172,10 +172,14 @@ def autocalibrate_pooled(
         _t = np.asarray(Tf, np.float64).reshape(3)
         _sk = np.array([[0, -_t[2], _t[1]], [_t[2], 0, -_t[0]], [-_t[1], _t[0], 0]])
         F_init = K1i.T @ (_sk @ np.asarray(Rf, np.float64)) @ K0i
+        # sampson_distance returns the SQUARED first-order distance (px^2,
+        # matching the RANSAC convention in match/pose.py); take the sqrt
+        # before mixing with the linear-px thresholds below
+        # (median(|d|) = sqrt(median(d^2)) by monotonicity).
         d_init = np.asarray(
             sampson_distance(jnp.asarray(F_init, jnp.float32), uv0j, uv1j)
         )[: len(p0n)][good[: len(p0n)]]
-        noise_px = 1.4826 * float(np.median(d_init)) if d_init.size else 0.0
+        noise_px = 1.4826 * float(np.sqrt(np.median(d_init))) if d_init.size else 0.0
         s_final = min(
             max(cfg.polish_final_threshold_px, noise_px),
             0.99 * cfg.ransac_threshold_px,
@@ -199,7 +203,8 @@ def autocalibrate_pooled(
         # Accept the annealed pose iff enough genuine support survives
         # near the final scale; report its epi error over that core set.
         Ff, _ = _px_stats(Rp, Tp, gj)
-        df = sampson_distance(Ff, uv0j, uv1j)
+        # Linear-px Sampson distance (sampson_distance is squared px^2).
+        df = jnp.sqrt(sampson_distance(Ff, uv0j, uv1j))
         core = gmask & (df < float(scales[-1]) * 3.0)
         if int(core.sum()) >= min_fit:
             Rf, Tf = Rp, Tp
@@ -211,7 +216,7 @@ def autocalibrate_pooled(
             # LM pass removes that floor at O(N)/iter host cost.
             from wass_tpu.calib.ba import polish_pose_f64
 
-            d_np = np.array(df, np.float64)[: len(p0n)]
+            d_np = np.array(df, np.float64)[: len(p0n)]  # linear px
             good_np = good[: len(p0n)]
             # Robust scale from ALL pooled inliers, not the core subset:
             # the core is pre-selected to agree with the polished pose

@@ -346,7 +346,10 @@ class SequencePipeline:
         else:
             planes = self._stereo_pipelined(wds, progress_stream)
 
-        self._write_sequence_outputs(wds, planes)
+        # Multi-process: every host has the full plane list (locals from
+        # its finalizers, remotes allgathered), so one writer suffices.
+        if jax.process_index() == 0:
+            self._write_sequence_outputs(wds, planes)
         return planes
 
     def _stereo_pipelined(self, wds, progress_stream=None) -> List[np.ndarray]:
@@ -449,15 +452,24 @@ class SequencePipeline:
 
         from wass_tpu import native
         from wass_tpu.parallel.mesh import make_frame_mesh
-        from wass_tpu.parallel.runner import ShardedDenseRunner
+        from wass_tpu.parallel.runner import ShardedDenseRunner, local_frame_indices
 
         n_dev = len(jax.devices())
         mesh = make_frame_mesh(n_dev)
         runner = ShardedDenseRunner(mesh, self.cfg.stereo)
+        multi = jax.process_count() > 1
+        # Global batch slots this process owns.  Single-process: all of
+        # them.  Multi-process (jax.distributed pod slice): each host
+        # loads, feeds, and finalizes ONLY its local frames; remote
+        # frames' meshes are written by their owning host (the reference's
+        # shared-filesystem scaling model, getting_started.html.md:40-47),
+        # and only their 4-float planes are allgathered for bookkeeping.
+        local_slots = local_frame_indices(mesh)
+        local_set = set(local_slots)
         planes: List[np.ndarray] = [None] * len(wds)
         geom_cache: dict = {}
         writers = ThreadPoolExecutor(max_workers=max(1, self.cfg.writer_threads))
-        prefetcher = native.Prefetcher(2 * n_dev) if native.available() else None
+        prefetcher = native.Prefetcher(2 * len(local_slots)) if native.available() else None
         tickets: dict = {}
 
         def submit(i):
@@ -468,34 +480,49 @@ class SequencePipeline:
                 )
 
         def load(i):
-            if prefetcher is not None:
+            if prefetcher is not None and i in tickets:
                 t0, t1 = tickets.pop(i)
                 return prefetcher.take(t0), prefetcher.take(t1)
             return wds[i].load_undistorted(0), wds[i].load_undistorted(1)
 
+        def batch_frame(s, slot, group_n):
+            """Workdir index batch slot `slot` maps to (tail slots repeat
+            the last real frame — cheaper than a second, smaller SPMD
+            program)."""
+            return s + min(slot, group_n - 1)
+
         inflight = deque()
         try:
-            for i in range(min(2 * n_dev, len(wds))):
-                submit(i)
+            for slot in local_slots:
+                submit(slot)
+                submit(n_dev + slot)
             for s in range(0, len(wds), n_dev):
-                group = wds[s : s + n_dev]
-                imgs, geoms, packs = [], [], []
-                for j, wd in enumerate(group):
-                    img0, img1 = load(s + j)
-                    submit(s + n_dev + j)
+                group_n = min(n_dev, len(wds) - s)
+                # Load each distinct local frame once (padded tail slots
+                # reuse the loaded arrays).
+                loaded: dict = {}
+                for fi in sorted({batch_frame(s, slot, group_n) for slot in local_slots}):
+                    img0, img1 = load(fi)
+                    submit(fi + n_dev)
+                    wd = wds[fi]
                     K0, K1 = wd.load_intrinsics(0), wd.load_intrinsics(1)
                     R, T = wd.load_extrinsics()
                     geom, gp = self._frame_geometry(geom_cache, K0, K1, R, T, img0.shape)
                     b_img, m_img = (img0, img1) if geom.base_is_cam0 else (img1, img0)
-                    imgs.append((b_img.astype(np.float32), m_img.astype(np.float32)))
-                    geoms.append((geom, K0, K1))
-                    packs.append(gp)
-                while len(imgs) < n_dev:  # ragged tail: repeat the last frame
-                    imgs.append(imgs[-1])
-                    packs.append(packs[-1])
+                    loaded[fi] = (
+                        (b_img.astype(np.float32), m_img.astype(np.float32)),
+                        (geom, K0, K1), gp,
+                    )
+                per_slot = [loaded[batch_frame(s, slot, group_n)] for slot in local_slots]
+                imgs = [e[0] for e in per_slot]
+                geoms = [e[1] for e in per_slot]
+                packs = [e[2] for e in per_slot]
 
                 # Fixed rig across the batch: rectify host-side with the
                 # cached static-H two-pass warp, per frame, before sharding.
+                # (Multi-process note: this flag must agree across hosts —
+                # it does whenever the sequence is uniformly fixed-rig or
+                # uniformly drifting, the only production cases.)
                 fixed_rig = all(g is geoms[0][0] for g, _, _ in geoms)
                 if fixed_rig:
                     geom0 = geoms[0][0]
@@ -514,27 +541,57 @@ class SequencePipeline:
                 res, rects, info, _mean_plane = runner.run_batch(
                     bb, mb, packs, rectified=fixed_rig
                 )
-                for k, wd in enumerate(group):
-                    one = type(res)(*(np.asarray(leaf[k]) for leaf in res))
-                    geom, K0, K1 = geoms[k]
+                for j, slot in enumerate(local_slots):
+                    if slot >= group_n:
+                        continue  # padded tail slot, no real frame behind it
+                    fi = s + slot
+                    wd = wds[fi]
+                    # Zero-copy device-resident slice of frame `slot` (the
+                    # shard buffer on its owning device): the finalizer
+                    # then runs the SAME device-side export as the
+                    # pipelined path — _stage_export quantize+compact on
+                    # that device, host fetch of only the 6n-byte u16
+                    # payload — instead of pulling the full f32 point grid.
+                    slice_k = lambda leaf: (
+                        None if leaf is None
+                        else ShardedDenseRunner._frame_shard_data(leaf, slot)
+                    )
+                    one = type(res)(*(slice_k(leaf) for leaf in res))
+                    geom, K0, K1 = geoms[j]
                     extras = {
-                        "imgs": imgs[k],
+                        "imgs": imgs[j],
                         # Device slices: the finalizer fetches u8 casts.
-                        "rect": (rects[0][k], rects[1][k]),
+                        "rect": (slice_k(rects[0]), slice_k(rects[1])),
                     }
                     if info["coverage"] is not None:
                         extras["c2f"] = {
-                            "coverage": float(info["coverage"][k]),
-                            "offband": float(info["offband"][k]),
-                            "fallback": k in info["fallback_frames"],
+                            "coverage": float(info["coverage"][slot]),
+                            "offband": float(info["offband"][slot]),
+                            "fallback": slot in info["fallback_frames"],
                         }
                     inflight.append((
-                        s + k,
+                        fi,
                         writers.submit(
                             self._finalize_stereo_frame, wd, geom, one, K0, K1, extras
                         ),
                     ))
-                while len(inflight) > n_dev:
+                if multi:
+                    # Remote frames: record their planes (4 floats each)
+                    # from the allgathered batch result; their meshes are
+                    # written by the owning hosts.
+                    from jax.experimental import multihost_utils
+
+                    pg = np.asarray(multihost_utils.process_allgather(res.plane, tiled=True))
+                    okg = np.asarray(multihost_utils.process_allgather(res.plane_ok, tiled=True))
+                    npg = np.asarray(multihost_utils.process_allgather(res.n_points, tiled=True))
+                    for slot in range(group_n):
+                        if slot in local_set:
+                            continue
+                        good = bool(okg[slot]) and int(npg[slot]) >= self.cfg.stereo.min_triangulated
+                        planes[s + slot] = (
+                            np.array(pg[slot], np.float64) if good else np.full(4, np.nan)
+                        )
+                while len(inflight) > len(local_slots):
                     j, f = inflight.popleft()
                     planes[j] = f.result()
             while inflight:

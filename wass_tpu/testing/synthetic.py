@@ -145,9 +145,9 @@ def make_rig(
     look_down_deg: float = 25.0,
     baseline: float = 2.5,
     toe_in_deg: float = 1.0,
-    rng: Optional[np.random.Generator] = None,
 ) -> SyntheticRig:
-    rng = rng or np.random.default_rng(0)
+    # Deterministic: the principal-point jitters below are fixed, so every
+    # call with the same arguments produces the identical canonical rig.
     f = focal_px if focal_px is not None else 1.1 * width
     K = lambda jx, jy: np.array(
         [[f, 0.0, width / 2 + jx], [0.0, f, height / 2 + jy], [0.0, 0.0, 1.0]]
@@ -265,7 +265,7 @@ def make_scene(
     texture_octaves: int = 7,
 ) -> SyntheticScene:
     rng = np.random.default_rng(seed)
-    rig = rig or make_rig(width=width, height=height, rng=rng)
+    rig = rig or make_rig(width=width, height=height)
     waves = WaveField.random(rng, amplitude=wave_amplitude)
     # Texture field over world xy; scale chosen so the finest octave is a few
     # pixels on screen at the working distance.
