@@ -13,6 +13,7 @@ from wass_tpu.grid.outliers import filter_mesh_outliers
 def _write_cube(path, T=4, M=12, N=10, with_images=False):
     w = NetCDFWriter(path, M=M, N=N)
     w.scale = 2.5
+    w.add_meta_attribute("generator", "wass_tpu")
     XX, YY = np.meshgrid(np.arange(N, dtype=float), np.arange(M, dtype=float))
     w.set_grids(XX * 1000, YY * 1000)
     w.set_kxky(XX, YY)
@@ -45,13 +46,40 @@ class TestNetCDFConventions:
             assert names == ["/X", "/Y"]
             assert [f[r[0]].name for r in f["time"].attrs["DIMENSION_LIST"]] == ["/count"]
 
-    def test_netcdf4_package_roundtrip_if_available(self, tmp_path):
-        netCDF4 = pytest.importorskip("netCDF4")
+    def test_netcdf4_reader_roundtrip(self, tmp_path):
+        """Read the cube back through a netCDF-4 dimension-resolving
+        reader: the real netCDF4 package when present, else the vendored
+        minimal reader (wass_tpu/io/netcdf4_reader.py), which implements
+        the same convention resolution (DIMENSION_LIST references,
+        DIMENSION_SCALE tagging) independently of the writer."""
+        try:
+            from netCDF4 import Dataset
+        except ImportError:
+            from wass_tpu.io.netcdf4_reader import Dataset
+
         path = tmp_path / "cube.nc"
         _write_cube(path, with_images=True)
-        with netCDF4.Dataset(path) as ds:
-            assert ds["Z"].dimensions == ("count", "X", "Y")
-            assert ds["Z"].shape[0] == 4
+        with Dataset(path) as ds:
+            assert set(ds.dimensions) >= {"X", "Y", "count"}
+            # X is the N axis, Y the M axis (grid/netcdf.py:33-36).
+            assert ds.dimensions["X"] == 10 and ds.dimensions["Y"] == 12
+            z = ds["Z"]
+            assert z.dimensions == ("count", "X", "Y")
+            assert z.shape == (4, 10, 12)
+            zdata = np.asarray(z[:])
+            assert np.isfinite(zdata).all()
+            assert ds["X_grid"].dimensions == ("X", "Y")
+            assert ds["time"].dimensions == ("count",)
+            np.testing.assert_allclose(np.asarray(ds["time"][:]), [0, 0.5, 1.0, 1.5])
+            assert float(np.asarray(ds["scale"][()])) == 2.5
+            # VLEN JPEG frame store.
+            imgs = ds["cam0images"]
+            assert imgs.shape == (4,)
+            assert len(np.asarray(imgs[0]).tobytes()) == 16
+            # meta group attributes.
+            meta = ds.groups["meta"]
+            assert "generator" in meta.ncattrs()
+            assert meta.getncattr("generator") == "wass_tpu"
 
     def test_images_stored(self, tmp_path):
         path = tmp_path / "cube.nc"

@@ -244,3 +244,68 @@ class TestBurnedMaskWrap:
         ref = (xx - 6 >= W - 4) & (xx - 6 < W)
         np.testing.assert_array_equal(out, np.broadcast_to(ref, (H, W)))
         assert not out[:, :6].any()  # the wrap region stays clean
+
+
+class TestDeltaExport:
+    def test_delta_payload_roundtrip_exact(self, rng):
+        """The delta-coded wire payload must reconstruct the EXACT u16
+        quantized points of the direct export (byte-identical .xyzC)."""
+        import jax.numpy as jnp
+
+        from wass_tpu.io.xyzc import decode_delta_payload
+        from wass_tpu.stereo.dense import _stage_export, _stage_export_delta
+
+        H, W = 40, 56
+        # Smooth surface + jumps + invalid holes: exercises small deltas,
+        # exception rows (row wrap, discontinuities) and compaction.
+        yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        z = 10.0 + 0.01 * xx + 0.02 * yy + 0.2 * np.sin(xx / 5.0)
+        z[yy > 30] += 5.0  # depth discontinuity
+        pts = np.stack([(xx - W / 2) * z / 100, (yy - H / 2) * z / 100, z], -1)
+        valid = rng.random((H, W)) > 0.25
+        plane = np.array([0.01, -0.02, 0.9, -9.5])
+        plane[:3] /= np.linalg.norm(plane[:3])
+
+        args = (
+            jnp.asarray(pts, jnp.float32), jnp.asarray(valid),
+            jnp.asarray(plane, jnp.float32),
+        )
+        q, mins, scales = _stage_export(*args)
+        db, exc, q2, nexc_dev, mins2, scales2 = _stage_export_delta(*args)
+        n = int(valid.sum())
+        np.testing.assert_array_equal(np.asarray(mins), np.asarray(mins2))
+        np.testing.assert_array_equal(np.asarray(q2), np.asarray(q))
+
+        delta_b = np.asarray(db[:n])
+        n_exc = int((delta_b[:, 0] == 0).sum())
+        assert n_exc == int(nexc_dev)
+        assert n_exc >= 1  # point 0 is always an exception
+        rec = decode_delta_payload(delta_b, np.asarray(exc[:n_exc]))
+        np.testing.assert_array_equal(rec, np.asarray(q[:n]))
+
+    def test_delta_exceptions_rare_at_production_width(self, rng):
+        """At production frame widths one pixel step is <= ~32 x-quanta,
+        so the delta stream is the cheap one (the whole point of the
+        encoding)."""
+        import jax.numpy as jnp
+
+        from wass_tpu.stereo.dense import _stage_export_delta
+
+        H, W = 24, 1024
+        yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        z = 10.0 + 0.001 * xx + 0.02 * yy
+        pts = np.stack([(xx - W / 2) * z / 1000, (yy - H / 2) * z / 1000, z], -1)
+        valid = rng.random((H, W)) > 0.1
+        plane = np.array([0.0, 0.0, 1.0, -10.0])
+        db, exc, q2, nexc_dev, mins, scales = _stage_export_delta(
+            jnp.asarray(pts, jnp.float32), jnp.asarray(valid),
+            jnp.asarray(plane, jnp.float32),
+        )
+        n = int(valid.sum())
+        assert int(nexc_dev) < 0.25 * n
+
+    def test_delta_payload_empty(self):
+        from wass_tpu.io.xyzc import decode_delta_payload
+
+        out = decode_delta_payload(np.zeros((0, 3), np.uint8), np.zeros((0, 3), np.uint16))
+        assert out.shape == (0, 3)

@@ -46,10 +46,11 @@ class AutocalConfig:
     max_points: int = 16384  # BA capacity (pooled inliers are subsampled)
     ba_iters: int = 60
     # Final Sampson polish over ALL pooled inliers: Cauchy-IRLS rounds
-    # with the robust scale annealed geometrically from the RANSAC
-    # threshold down to polish_final_threshold_px (the genuine-match
-    # noise floor; LK-refined matches sit at ~0.005-0.01 px under the
-    # true pose while the contaminating tail reaches tens of px).
+    # with the robust scale RE-MEASURED each round from the current
+    # pose's residual MAD (self-annealing), floored at
+    # polish_final_threshold_px (the genuine-match noise floor;
+    # LK-refined matches sit at ~0.005-0.01 px under the true pose while
+    # the contaminating tail reaches tens of px).
     polish_rounds: int = 5
     polish_iters: int = 60
     polish_final_threshold_px: float = 0.05
@@ -151,45 +152,53 @@ def autocalibrate_pooled(
         F = jnp.asarray(K1i.T, jnp.float32) @ E @ jnp.asarray(K0i, jnp.float32)
         return F, epipolar_error_stats(F, uv0j, uv1j, mask)
 
+    # Host-f64 Sampson distances (linear px) over ALL pooled matches.
+    # The f32 device sampson_distance is precision-limited near the
+    # genuine noise floor (measured: f32 median 0.35 px where the f64
+    # truth is 0.14 px at 1.77 MP coords) — every scale estimate,
+    # core selection and acceptance below therefore uses this f64 path.
+    x0h = np.c_[uv0.astype(np.float64), np.ones(len(uv0))]
+    x1h = np.c_[uv1.astype(np.float64), np.ones(len(uv1))]
+
+    def _sampson_px_f64(Rc, Tc):
+        Tc = np.asarray(Tc, np.float64).reshape(3)
+        sk_ = np.array([[0, -Tc[2], Tc[1]], [Tc[2], 0, -Tc[0]], [-Tc[1], Tc[0], 0]])
+        F = K1i.T @ (sk_ @ np.asarray(Rc, np.float64)) @ K0i
+        Fx0 = x0h @ F.T
+        Ftx1 = x1h @ F
+        num = np.abs(np.sum(x1h * Fx0, -1))
+        return num / np.sqrt(
+            Fx0[:, 0] ** 2 + Fx0[:, 1] ** 2 + Ftx1[:, 0] ** 2 + Ftx1[:, 1] ** 2 + 1e-300
+        )
+
+    good_np = good[: len(p0n)]
+
     rounds = max(0, cfg.polish_rounds)
     if rounds:
-        # Cauchy-IRLS with annealed scale.  The pooled "inlier" set still
-        # carries a few-percent tail of gross mismatches (1-40 px) that
-        # dominates an L2 fit: genuine LK-refined matches sit at ~0.005 px
-        # under the true pose, so an L2 pose stalls ~3 px away and any
-        # hard re-threshold around it keeps almost nothing.  Downweight
-        # smoothly (w = 1/(1 + (d/2s)^2)) and shrink s geometrically from
-        # the RANSAC threshold to the genuine-match noise floor; inliers'
-        # residuals collapse with the pose while outliers' weights vanish.
-        # Anneal down to the MEASURED noise level, clamped below by the
-        # configured floor: with LK-refined production matches (~0.01 px)
-        # the floor applies, but with coarser matches (e.g. 0.4 px) a
-        # fixed 0.05 px final scale would fit only the central fraction
-        # of the noise distribution that happens to agree with the
-        # current pose — a biased subset on quasi-planar scenes where
-        # the T direction is weakly constrained.  The median Sampson
-        # distance of the RANSAC inliers is robust to the gross tail.
-        _t = np.asarray(Tf, np.float64).reshape(3)
-        _sk = np.array([[0, -_t[2], _t[1]], [_t[2], 0, -_t[0]], [-_t[1], _t[0], 0]])
-        F_init = K1i.T @ (_sk @ np.asarray(Rf, np.float64)) @ K0i
-        # sampson_distance returns the SQUARED first-order distance (px^2,
-        # matching the RANSAC convention in match/pose.py); take the sqrt
-        # before mixing with the linear-px thresholds below
-        # (median(|d|) = sqrt(median(d^2)) by monotonicity).
-        d_init = np.asarray(
-            sampson_distance(jnp.asarray(F_init, jnp.float32), uv0j, uv1j)
-        )[: len(p0n)][good[: len(p0n)]]
-        noise_px = 1.4826 * float(np.sqrt(np.median(d_init))) if d_init.size else 0.0
-        s_final = min(
-            max(cfg.polish_final_threshold_px, noise_px),
-            0.99 * cfg.ransac_threshold_px,
-        )
-        scales = np.geomspace(cfg.ransac_threshold_px, s_final, rounds)
+        # Cauchy-IRLS with an ADAPTIVE, re-estimated scale.  The pooled
+        # "inlier" set still carries a few-percent tail of gross
+        # mismatches (1-40 px) that dominates an L2 fit, so downweight
+        # smoothly (w = 1/(1 + (d/2s)^2)) and re-measure s each round
+        # from the CURRENT pose's residuals (1.4826 * median |d|, the
+        # standard MAD scale, robust to the gross tail).  A scale
+        # committed up front cannot work: measured under the RANSAC
+        # initialization it is inflated by the very pose error the polish
+        # removes, while a fixed small target would fit only the central
+        # fraction of the noise that happens to agree with the current
+        # pose — a biased subset on quasi-planar scenes.  Self-annealing
+        # tracks the truth: as the pose improves the genuine residuals
+        # collapse and the measured scale collapses with them, floored at
+        # the configured noise floor and kept monotone non-increasing so
+        # a diverged round cannot re-widen the kernel.
         gmask = jnp.asarray(good)
         min_fit = max(24, int(0.1 * int(good.sum())))
         f_px = 0.5 * (K0[0, 0] + K1[0, 0])  # px scale -> normalized coords
         Rp, Tp = np.asarray(Rf), np.asarray(Tf).reshape(3)
-        for s in scales:
+        s = 0.99 * cfg.ransac_threshold_px
+        for _ in range(rounds):
+            d_now = _sampson_px_f64(Rp, Tp)[good_np]
+            mad_now = 1.4826 * float(np.median(d_now)) if d_now.size else 0.0
+            s = min(s, max(cfg.polish_final_threshold_px, mad_now))
             pol = lm_refine_pose_epipolar(
                 jnp.asarray(Rp, jnp.float32),
                 jnp.asarray(Tp, jnp.float32),
@@ -201,41 +210,34 @@ def autocalibrate_pooled(
             Tp = np.array(pol.T, np.float64)
             Tp = Tp / np.linalg.norm(Tp)
         # Accept the annealed pose iff enough genuine support survives
-        # near the final scale; report its epi error over that core set.
-        Ff, _ = _px_stats(Rp, Tp, gj)
-        # Linear-px Sampson distance (sampson_distance is squared px^2).
-        df = jnp.sqrt(sampson_distance(Ff, uv0j, uv1j))
-        core = gmask & (df < float(scales[-1]) * 3.0)
-        if int(core.sum()) >= min_fit:
+        # near the final scale.
+        d_pol = _sampson_px_f64(Rp, Tp)
+        core_np = good_np & (d_pol < s * 3.0)
+        if int(core_np.sum()) >= min_fit:
             Rf, Tf = Rp, Tp
             improved = True
-            # Final float64 host polish on the core set with Cauchy
-            # weights frozen at the last annealed scale: the device
-            # polish runs in f32, which floors the recoverable rotation
-            # near 1e-4 rad (see polish_pose_f64); one double-precision
-            # LM pass removes that floor at O(N)/iter host cost.
+            # Float64 host IRLS polish: the device polish runs in f32,
+            # which floors the recoverable rotation near 1e-3 rad at this
+            # coordinate scale (measured); a few double-precision LM
+            # rounds with re-measured Cauchy weights remove that floor at
+            # O(N)/iter host cost.  The weighted cost is monotone within
+            # each round; acceptance is by the f64 median below.
             from wass_tpu.calib.ba import polish_pose_f64
 
-            d_np = np.array(df, np.float64)[: len(p0n)]  # linear px
-            good_np = good[: len(p0n)]
-            # Robust scale from ALL pooled inliers, not the core subset:
-            # the core is pre-selected to agree with the polished pose
-            # (df < 3*floor), so its spread self-confirms any bias.  The
-            # median over the full inlier pool tracks the genuine match
-            # noise (robust to the few-percent gross-mismatch tail):
-            # ~0.01 px for LK-refined production matches (-> the floor
-            # clamp engages and f64 removes the f32 precision limit),
-            # ~0.4 px for unrefined matches (-> weights widen and the
-            # fit stays unbiased).
-            mad = float(np.median(d_np[good_np])) if good_np.any() else 0.0
-            s_px = max(1.4826 * mad, float(scales[-1]))
-            w_np = np.where(good_np, 1.0 / (1.0 + (d_np / (2.0 * s_px)) ** 2), 0.0)
-            R64, T64, rms0, rms1 = polish_pose_f64(Rf, Tf, p0n, p1n, w_np)
-            if rms1 <= rms0:
-                _, st_f32 = _px_stats(Rf, Tf, core)
-                _, st_f64 = _px_stats(R64, T64, core)
-                if float(st_f64.avg) <= float(st_f32.avg) * (1.0 + 1e-6):
-                    Rf, Tf = R64, T64
+            R64, T64 = np.asarray(Rf, np.float64), np.asarray(Tf, np.float64).reshape(3)
+            for _ in range(3):
+                d64 = _sampson_px_f64(R64, T64)
+                mad = float(np.median(d64[good_np])) if good_np.any() else 0.0
+                s_px = max(1.4826 * mad, cfg.polish_final_threshold_px)
+                w_np = np.where(good_np, 1.0 / (1.0 + (d64 / (2.0 * s_px)) ** 2), 0.0)
+                R_new, T_new, rms0, rms1 = polish_pose_f64(R64, T64, p0n, p1n, w_np)
+                if rms1 > rms0:
+                    break
+                R64, T64 = R_new, T_new
+            if np.median(_sampson_px_f64(R64, T64)[good_np]) <= np.median(
+                _sampson_px_f64(Rf, Tf)[good_np]
+            ) * (1.0 + 1e-9):
+                Rf, Tf = R64, T64
     # --- Final accept-if-better + reported error fields ------------------
     # Host-f64 MEDIAN Sampson distance over the pooled inliers: the raw
     # mean is dominated by the near-threshold tail RANSAC admitted under
@@ -243,20 +245,8 @@ def autocalibrate_pooled(
     # by fractions of a percent.  The median tracks the bulk error the
     # robust estimator actually minimizes, and mirrors the reference's
     # accept-only-if-better contract (wass_autocalibrate.cpp:363-382).
-    def _samp_med_px(Rc, Tc):
-        Tc = np.asarray(Tc, np.float64).reshape(3)
-        sk = np.array([[0, -Tc[2], Tc[1]], [Tc[2], 0, -Tc[0]], [-Tc[1], Tc[0], 0]])
-        F = K1i.T @ (sk @ np.asarray(Rc, np.float64)) @ K0i
-        x0 = np.c_[uv0.astype(np.float64), np.ones(len(uv0))]
-        x1 = np.c_[uv1.astype(np.float64), np.ones(len(uv1))]
-        Fx0 = x0 @ F.T
-        Ftx1 = x1 @ F
-        num = np.abs(np.sum(x1 * Fx0, -1))
-        d = num / np.sqrt(Fx0[:, 0] ** 2 + Fx0[:, 1] ** 2 + Ftx1[:, 0] ** 2 + Ftx1[:, 1] ** 2 + 1e-300)
-        return float(np.median(d[good[: len(uv0)]]))
-
-    before_med = _samp_med_px(R, T)
-    final_med = _samp_med_px(Rf, Tf)
+    before_med = float(np.median(_sampson_px_f64(R, T)[good_np]))
+    final_med = float(np.median(_sampson_px_f64(Rf, Tf)[good_np]))
     if final_med > before_med:
         Rf, Tf = R, T
         final_med = before_med

@@ -54,8 +54,17 @@ def _point_residual(cam: jnp.ndarray, R0: jnp.ndarray, X: jnp.ndarray, p0: jnp.n
     return jnp.concatenate([r0, r1])
 
 
+def lm_refine_two_view(*args, **kwargs) -> "BAResult":
+    """Two-view LM BA (see _lm_refine_two_view_jit); forces full-f32
+    matmul precision — TPU f32 dots default to bf16 passes, which this
+    calibration-critical path cannot afford (measured 5x pose accuracy
+    loss), and the per-iteration matrices are tiny."""
+    with jax.default_matmul_precision("highest"):
+        return _lm_refine_two_view_jit(*args, **kwargs)
+
+
 @partial(jax.jit, static_argnames=("max_iters", "axis_name"))
-def lm_refine_two_view(
+def _lm_refine_two_view_jit(
     R_init: jnp.ndarray,
     T_init: jnp.ndarray,
     X_init: jnp.ndarray,
@@ -168,8 +177,15 @@ class EpipolarPolishResult(NamedTuple):
     final_rms: jnp.ndarray
 
 
+def lm_refine_pose_epipolar(*args, **kwargs) -> "EpipolarPolishResult":
+    """Sampson pose polish (see _lm_refine_pose_epipolar_jit); forced
+    full-f32 matmul precision like the other calibration solvers."""
+    with jax.default_matmul_precision("highest"):
+        return _lm_refine_pose_epipolar_jit(*args, **kwargs)
+
+
 @partial(jax.jit, static_argnames=("max_iters",))
-def lm_refine_pose_epipolar(
+def _lm_refine_pose_epipolar_jit(
     R_init: jnp.ndarray,
     T_init: jnp.ndarray,
     p0: jnp.ndarray,

@@ -62,6 +62,34 @@ def save_xyz_quantized(path, quant: np.ndarray, scales, mins, Rinv: np.ndarray, 
         f.write(q.tobytes())
 
 
+def decode_delta_payload(delta_b: np.ndarray, exc_vals: np.ndarray) -> np.ndarray:
+    """Reconstruct the exact compacted u16 point array (n, 3) from the
+    delta-coded wire payload (stereo/dense._stage_export_delta).
+
+    delta_b: (n, 3) u8 — biased deltas (value 0 in component 0 = sentinel
+    for an exception row).  exc_vals: (>= n_exc, 3) u16 absolute triplets
+    in scan order; extra rows are ignored.  Fully vectorized: segment
+    bases propagate with maximum.accumulate, values are base + running
+    delta sum within each segment.
+    """
+    delta_b = np.asarray(delta_b)
+    n = delta_b.shape[0]
+    if n == 0:
+        return np.zeros((0, 3), np.uint16)
+    exc = delta_b[:, 0] == 0
+    n_exc = int(exc.sum())
+    d = delta_b.astype(np.int64) - 128
+    d[exc] = 0
+    c = np.cumsum(d, axis=0)
+    # Segment id = index of the most recent exception row (row 0 is
+    # always an exception by construction).
+    seg = np.maximum.accumulate(np.where(exc, np.arange(n), -1))
+    abs_rows = np.zeros((n, 3), np.int64)
+    abs_rows[exc] = np.asarray(exc_vals[:n_exc], np.int64)
+    base = abs_rows[seg] - c[seg]
+    return (base + c).astype(np.uint16)
+
+
 def load_camera_mesh(path) -> np.ndarray:
     """Decode to camera-frame points (3, N), mirroring wass_utils.py:22-35."""
     with open(path, "rb") as f:

@@ -716,6 +716,44 @@ def _stage_export(pts, valid, plane):
 
 
 @jax.jit
+def _stage_export_delta(pts, valid, plane):
+    """Device-side .xyzC payload, DELTA-CODED for the wire: same u16
+    quantization + compaction as _stage_export, then each compacted point
+    is encoded as 3 bytes of per-component delta vs its predecessor
+    (consecutive points in the grid scan are a pixel apart in the plane
+    frame, so deltas fit i8 almost everywhere), with a sentinel-0 first
+    byte marking rare exceptions (row wraps, depth discontinuities, and
+    point 0) whose absolute u16 triplets travel in a side stream.
+
+    Wire cost: 3n bytes + 6 bytes/exception (~1-3% of points on
+    production-width frames, where one pixel step is ~65535/W <= 32
+    quanta in x) — half of _stage_export's 6n.  The host reconstructs
+    the EXACT u16 values (io/xyzc.decode_delta_payload) and writes a
+    byte-identical .xyzC.  Also returns the direct u16 buffer and the
+    exception count, so the finalizer can pick the cheaper stream per
+    frame (narrow frames degrade to all-exceptions, where direct wins).
+    The tunneled host<->device link (~28 MB/s), not compute, bounds the
+    production e2e rate (E2E_r03 decomposition)."""
+    q, mins, scales = _stage_export(pts, valid, plane)
+    HW = q.shape[0]
+    n = jnp.sum(valid)
+    qi = q.astype(jnp.int32)
+    d = qi - jnp.roll(qi, 1, axis=0)
+    d = d.at[0].set(0)
+    # Exception: any component's delta outside the biased-u8 range
+    # [-127, 127] (byte 0 is the sentinel), plus point 0 (absolute).
+    exc = jnp.any(jnp.abs(d) > 127, axis=1)
+    exc = exc.at[0].set(True)
+    delta_b = jnp.where(exc[:, None], 0, d + 128).astype(jnp.uint8)
+    # Compact the exceptions' absolute u16 triplets, in scan order.
+    eidx = jnp.cumsum(exc) - 1
+    etarget = jnp.where(exc, eidx, HW)
+    exc_vals = jnp.zeros((HW, 3), jnp.uint16).at[etarget].set(q, mode="drop")
+    n_exc = jnp.sum(exc & (jnp.arange(HW) < n))
+    return delta_b, exc_vals, q, n_exc, mins, scales
+
+
+@jax.jit
 def _jit_disp_u16(disp):
     """Disparity as 1/16-px fixed point for cheap host fetch (the debug
     render does not need f32)."""
