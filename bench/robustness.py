@@ -17,6 +17,17 @@ for docs/quality.md.
 
 Run on TPU:   python bench/robustness.py
 Matcher-only: WASS_ROBUST_MATCH_ONLY=1 python bench/robustness.py
+Pooled pose:  WASS_ROBUST_POOLED=1 python bench/robustness.py
+              (the PRODUCTION pose path: match 8 degraded frames ->
+               autocalibrate pooled reduction -> dR/dT, the estimator the
+               per-frame columns only initialize)
+Full-res matcher: WASS_ROBUST_FULLRES=1 python bench/robustness.py
+              (2048x1536 — the scale where the >=400-match gate is
+               defined, verify_matcher.m:5,18)
+Dense knobs:  WASS_ROBUST_DENSE_SWEEP=1 python bench/robustness.py
+              (census window / P2 / input pre-smoothing under jpeg q95
+               and sensor noise — the reference's own mitigation space,
+               test/jpeg_compression_test.m:31-40)
 """
 import io
 import os
@@ -66,6 +77,188 @@ DEGRADATIONS = [
     ("noise s=8", lambda i0, i1: (add_noise(i0, 8, 1), add_noise(i1, 8, 2))),
     ("specular x20", lambda i0, i1: (add_specular(i0, 20, 3), add_specular(i1, 20, 4))),
 ]
+
+
+def _canonical_rig_scene(W, H, seed=17, time_s=0.0):
+    """Disk-cached canonical-rig scene at (W, H)."""
+    from wass_tpu.testing import make_rig, make_scene
+    from wass_tpu.testing.synthetic import SyntheticRig
+
+    cache = f"/tmp/wass_robust_scene_{W}x{H}_{seed}_{time_s:g}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        rig = SyntheticRig(width=W, height=H, **{k: z[k] for k in ("K0", "K1", "R0", "T0", "R1", "T1")})
+        return z["img0"], z["img1"], z["points0"], rig
+    rig = make_rig(width=W, height=H)
+    sc = make_scene(seed=seed, width=W, height=H, wave_amplitude=0.25, rig=rig, time=time_s)
+    np.savez_compressed(cache, img0=sc.img0, img1=sc.img1, points0=sc.points0,
+                        K0=rig.K0, K1=rig.K1, R0=rig.R0, T0=rig.T0,
+                        R1=rig.R1, T1=rig.T1)
+    return sc.img0, sc.img1, sc.points0, rig
+
+
+def pooled_pose_sweep():
+    """The production pose path under degradation: match N frames, pool
+    the epipolar inliers, run the autocalibrate reduction, report pooled
+    dR/dT vs ground truth next to the single-pair initialization."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from wass_tpu.calib.autocalibrate import AutocalConfig, autocalibrate_pooled
+    from wass_tpu.match.pipeline import MatchConfig, match_frame
+
+    W, H = 1024, 768
+    n_frames = int(os.environ.get("WASS_ROBUST_POOLED_FRAMES", "8"))
+    frames = []
+    rig = None
+    for i in range(n_frames):
+        img0, img1, _, rig = _canonical_rig_scene(W, H, seed=17, time_s=i * 0.2)
+        frames.append((img0.astype(np.float64), img1.astype(np.float64)))
+    mcfg = MatchConfig()
+    Tg = rig.T / np.linalg.norm(rig.T)
+
+    rows = []
+    for name, fn in DEGRADATIONS:
+        t0 = time.time()
+        uv0_all, uv1_all, per_frame = [], [], []
+        for i, (f0, f1) in enumerate(frames):
+            d0, d1 = fn(f0, f1)
+            res = match_frame(d0, d1, rig.K0, rig.K1, mcfg)
+            if res is None:
+                continue
+            uv0_all.append(res.uv0_epi)
+            uv1_all.append(res.uv1_epi)
+            per_frame.append(
+                (res.n_matches, float(np.abs(res.R - rig.R).max()),
+                 float(np.abs(res.T.ravel() - Tg).max()))
+            )
+        if not uv0_all:
+            rows.append((name, 0, 0, float("nan"), float("nan"), float("nan"), float("nan")))
+            print(f"# {name}: ALL FRAMES FAILED", file=sys.stderr)
+            continue
+        ac = autocalibrate_pooled(
+            np.concatenate(uv0_all), np.concatenate(uv1_all),
+            rig.K0, rig.K1, AutocalConfig(),
+        )
+        if ac is None:
+            rows.append((name, len(per_frame), 0, float("nan"), float("nan"), float("nan"), float("nan")))
+            print(f"# {name}: AUTOCAL FAILED", file=sys.stderr)
+            continue
+        dR = float(np.abs(ac.R - rig.R).max())
+        dT = float(np.abs(ac.T.ravel() - Tg).max())
+        med_pf_dR = float(np.median([p[1] for p in per_frame]))
+        med_pf_dT = float(np.median([p[2] for p in per_frame]))
+        rows.append((name, len(per_frame), ac.n_inliers, med_pf_dR, med_pf_dT, dR, dT))
+        print(f"# {name}: {len(per_frame)}/{n_frames} frames, {ac.n_inliers} pooled inliers, "
+              f"per-frame med dR/dT {med_pf_dR:.2e}/{med_pf_dT:.2e} -> "
+              f"POOLED dR {dR:.2e} dT {dT:.2e} ({time.time()-t0:.1f}s)", file=sys.stderr)
+
+    print("\n| Degradation | frames ok | pooled inliers | per-frame med dR | per-frame med dT | POOLED dR (<=5e-3) | POOLED dT (<=2e-2) |")
+    print("|---|---|---|---|---|---|---|")
+    for name, nf, ni, pdR, pdT, dR, dT in rows:
+        print(f"| {name} | {nf} | {ni} | {pdR:.1e} | {pdT:.1e} | {dR:.1e} | {dT:.1e} |")
+
+
+def fullres_matcher_sweep():
+    """Matcher degradation rows at 2048x1536 — the resolution class where
+    the >=400-match gate is defined (verify_matcher.m:5,18)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from wass_tpu.match.pipeline import MatchConfig, match_frame
+
+    W, H = 2048, 1536
+    img0, img1, _, rig = _canonical_rig_scene(W, H, seed=17)
+    mcfg = MatchConfig()
+    Tg = rig.T / np.linalg.norm(rig.T)
+    rows = []
+    for name, fn in DEGRADATIONS:
+        d0, d1 = fn(img0.astype(np.float64), img1.astype(np.float64))
+        t0 = time.time()
+        res = match_frame(d0, d1, rig.K0, rig.K1, mcfg)
+        if res is None:
+            rows.append((name, 0, float("nan"), float("nan"), float("nan")))
+            print(f"# {name}: MATCH FAILED", file=sys.stderr)
+            continue
+        dR = float(np.abs(res.R - rig.R).max())
+        dT = float(np.abs(res.T.ravel() - Tg).max())
+        rows.append((name, res.n_matches, res.epi_avg, dR, dT))
+        print(f"# {name}: {res.n_matches} matches, epi {res.epi_avg:.3f}, "
+              f"dR {dR:.2e} dT {dT:.2e} ({time.time()-t0:.1f}s)", file=sys.stderr)
+    print("\n| Degradation (2048x1536) | matches (gate >=400) | epi err px (<=0.5) | dR | dT |")
+    print("|---|---|---|---|---|")
+    for name, n, epi, dR, dT in rows:
+        print(f"| {name} | {n} | {epi:.3f} | {dR:.1e} | {dT:.1e} |")
+
+
+def dense_knob_sweep():
+    """Dense-stage mitigation sweep under the gate-blowing degradations:
+    census window x P2 x input pre-smoothing (host gaussian), measured as
+    trimmed-mean elevation error with GT extrinsics."""
+    import dataclasses
+
+    import jax
+    from scipy.ndimage import gaussian_filter
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from wass_tpu.stereo.dense import DenseStereoConfig, dense_stereo_frame
+
+    W, H = 1024, 768
+    img0, img1, points0, rig = _canonical_rig_scene(W, H, seed=17)
+    base = DenseStereoConfig(num_disp=192, min_disp=1,
+                             plane_ransac_threshold=0.1, plane_max_distance=0.3)
+
+    degr = dict(DEGRADATIONS)
+    cases = [("clean", degr["clean"]), ("jpeg q95", degr["jpeg q95"]),
+             ("noise s=3", degr["noise s=3"])]
+    knobs = []
+    for cw in [(7, 9), (9, 11)]:
+        for p2 in [96, 192]:
+            for sigma in [0.0, 0.8, 1.5]:
+                knobs.append((cw, p2, sigma))
+
+    def run(cfg, d0, d1):
+        out, _ = dense_stereo_frame(
+            d0.astype(np.float32), d1.astype(np.float32),
+            rig.K0, rig.K1, rig.R, rig.T, cfg,
+        )
+        valid = np.asarray(out.valid)
+        pts = np.asarray(out.points)[valid]
+        plane = np.asarray(out.plane, np.float64)
+        if not (np.all(np.isfinite(plane)) and len(pts)):
+            return float("nan")
+        uv = pts @ np.asarray(rig.K0).T
+        uv = uv[:, :2] / uv[:, 2:3]
+        xi = np.clip(uv[:, 0].astype(int), 0, W - 1)
+        yi = np.clip(uv[:, 1].astype(int), 0, H - 1)
+        gt = points0[yi, xi] / rig.baseline
+        err = np.abs((pts @ plane[:3]) - (gt @ plane[:3]))
+        ae = np.sort(err[np.isfinite(err)])
+        return float(ae[: int(len(ae) * 0.999)].mean())
+
+    print("\n| census win | P2 | pre-smooth sigma | " + " | ".join(n for n, _ in cases) + " |")
+    print("|---|---|---|" + "---|" * len(cases))
+    for cw, p2, sigma in knobs:
+        cfg = dataclasses.replace(base, census_win=cw, p2=p2)
+        errs = []
+        for name, fn in cases:
+            d0, d1 = fn(img0.astype(np.float64), img1.astype(np.float64))
+            if sigma > 0:
+                d0 = gaussian_filter(d0, sigma)
+                d1 = gaussian_filter(d1, sigma)
+            try:
+                errs.append(run(cfg, d0, d1))
+            except Exception as e:
+                print(f"# {cw} P2={p2} s={sigma} {name}: {e}", file=sys.stderr)
+                errs.append(float("nan"))
+        print(f"| {cw} | {p2} | {sigma} | " + " | ".join(f"{e:.4f}" for e in errs) + " |")
+        sys.stdout.flush()
 
 
 def main():
@@ -154,4 +347,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("WASS_ROBUST_POOLED", "0") == "1":
+        pooled_pose_sweep()
+    elif os.environ.get("WASS_ROBUST_FULLRES", "0") == "1":
+        fullres_matcher_sweep()
+    elif os.environ.get("WASS_ROBUST_DENSE_SWEEP", "0") == "1":
+        dense_knob_sweep()
+    else:
+        main()

@@ -143,10 +143,10 @@ class TestSequencePipeline:
             trimmed = ae[: int(len(ae) * 0.999)]
             # verify_meshes.m gate is 0.02 at 3 MP; at this 0.1 MP test
             # resolution the dense match is quantization/resolution-limited
-            # to ~0.025 even with GT extrinsics — gate at 0.05 (~1.7x
+            # to ~0.025 even with GT extrinsics — gate at 0.04 (~1.5x
             # margin over the calibrated measurement).  The full-scale
-            # calibrated gate runs in bench.py bench_accuracy (<0.02,
-            # committed artifact).
-            assert trimmed.mean() < 0.05
+            # calibrated gate PASSES in bench.py bench_accuracy
+            # (worst frame 0.0183 < 0.02, ACCURACY_r04.json).
+            assert trimmed.mean() < 0.04
             # Failure-map artifact (wass_stereo.cpp:1114-1119 equivalent).
             assert (wd.path / "triangulation_failmap.jpg").exists()
