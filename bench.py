@@ -299,8 +299,15 @@ def main():
         err = np.abs((pts @ plane[:3]) - (gt @ plane[:3]))
         ae = np.sort(err[np.isfinite(err)])
         trimmed = ae[: int(len(ae) * 0.999)]
+        # The >3e6-point density gate (verify_meshes.m:8) is defined on
+        # the 5 MP reference rig; at 5 MP sizes report it directly
+        # (measured PASS, 4.23e6 points — DESIGNPOINT_r04.json).
+        if W * H >= 2560 * 1920:
+            gate = f"density gate >3e6: {'PASS' if len(pts) > 3e6 else 'FAIL'}"
+        else:
+            gate = "density gate defined at 5 MP, see DESIGNPOINT_r04"
         print(
-            f"# quality: n_points={len(pts)} (gate >3e6 at 5 MP scale), "
+            f"# quality: n_points={len(pts)} ({gate}), "
             f"trimmed-mean elevation err={trimmed.mean():.4f} baseline units "
             f"(verify_meshes gate 0.02)",
             file=sys.stderr,
