@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from wass_tpu.core.epipolar import epipolar_error_stats
+
 from wass_tpu.match.features import FeatureSet, detect_features
 from wass_tpu.match.matcher import generate_candidates, gt_match, nearest_match, payoff_matrix
 from wass_tpu.match.pose import relative_pose_ransac
@@ -47,6 +47,13 @@ class MatchConfig:
     ransac_confidence: float = 0.9999
     iidyn_iters: int = 20000
     lk_refine: bool = True
+    # LK refinement half-window.  0 = auto: scale with image width
+    # (7 at 1024 wide), because surface texture scales with resolution —
+    # at 2048x1536 a fixed win=7 leaves only ~128 of 690 GT matches
+    # within the 0.5 px RANSAC bound, while win~14-15 passes the
+    # full-resolution verify_matcher gates (509 matches, 0.149 px f64
+    # epi error; measured 2026-08-21).
+    lk_win: int = 0
     # Gaussian pre-smoothing of the (uint8 PNG) input images before
     # detection/refinement: the production inputs are 8-bit undistorted
     # frames, whose quantization noise otherwise dominates the subpixel
@@ -135,12 +142,14 @@ def match_frame(
     if cfg.lk_refine:
         from wass_tpu.match.refine import refine_matches_lk
 
+        lk_win = cfg.lk_win or max(7, round(7 * img0.shape[1] / 1024))
         uv1 = np.asarray(
             refine_matches_lk(
                 jnp.asarray(img0, jnp.float32),
                 jnp.asarray(img1, jnp.float32),
                 jnp.asarray(uv0, jnp.float32),
                 jnp.asarray(uv1, jnp.float32),
+                win=lk_win,
             )
         )
 
@@ -179,14 +188,28 @@ def match_frame(
     if pose_inl.sum() < 8:
         return None
 
-    # Epipolar error stats on pixel coords with F = K1^-T E K0^-1.
+    # Epipolar error stats on pixel coords with F = K1^-T E K0^-1,
+    # computed in HOST f64: the f32 device metric is precision-inflated
+    # several-fold at megapixel coordinates (catastrophic cancellation in
+    # x1^T F x0 — same failure the calibration solvers hit), which made
+    # honest sub-0.5 px matchers report > 2 px averages at 3 MP.
     E = np.asarray(rp.E, np.float64)
     F = K1i.T @ E @ K0i
-    stats = epipolar_error_stats(
-        jnp.asarray(F, jnp.float32),
-        jnp.asarray(uv0[pose_inl], jnp.float32),
-        jnp.asarray(uv1[pose_inl], jnp.float32),
+    x0 = np.c_[uv0[pose_inl].astype(np.float64), np.ones(int(pose_inl.sum()))]
+    x1 = np.c_[uv1[pose_inl].astype(np.float64), np.ones(int(pose_inl.sum()))]
+    Fx0 = x0 @ F.T
+    Ftx1 = x1 @ F
+    num = np.abs(np.sum(x1 * Fx0, -1))
+    d_sym = 0.5 * (
+        num / np.sqrt(Fx0[:, 0] ** 2 + Fx0[:, 1] ** 2 + 1e-300)
+        + num / np.sqrt(Ftx1[:, 0] ** 2 + Ftx1[:, 1] ** 2 + 1e-300)
     )
+
+    class stats:  # ErrorStats-shaped host container
+        avg = d_sym.mean() if d_sym.size else float("nan")
+        std = d_sym.std() if d_sym.size else float("nan")
+        min = d_sym.min() if d_sym.size else float("nan")
+        max = d_sym.max() if d_sym.size else float("nan")
 
     return MatchStageResult(
         R=R,

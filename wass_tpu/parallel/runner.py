@@ -90,8 +90,8 @@ def _frame_pipeline(bi, mi, gp, cfg: DenseStereoConfig, rectified: bool):
         wstart, cov, offb = compute_row_windows(
             disp_c, cfg.c2f_factor, cfg.num_disp, cfg.min_disp, cfg.c2f_window
         )
-        cb = census_transform(br, cfg.census_win)
-        cm = census_transform(mr, cfg.census_win)
+        cb = census_transform(br, cfg.census_win, cfg.input_smooth_sigma)
+        cm = census_transform(mr, cfg.census_win, cfg.input_smooth_sigma)
         cost = census_cost_volume_pallas_windowed(
             cb, cm, wstart, cfg.c2f_window, cfg.num_disp, cfg.min_disp
         )

@@ -206,6 +206,7 @@ def sgm_disparity_c2f(
     win_disp: int = 128,
     use_pallas: bool = True,
     interpret: bool = False,
+    input_smooth_sigma: float = 0.0,
 ) -> jnp.ndarray:
     """End-to-end coarse-to-fine disparity (monolithic-jit variant; the
     production CLI uses the fine-grained jit pieces in stereo/dense.py).
@@ -235,8 +236,8 @@ def sgm_disparity_c2f(
     wstart, _cov, _offband = compute_row_windows(
         disp_c, factor, num_disp, min_disp, win_disp
     )
-    cb = census_transform(base_img, census_win)
-    cm = census_transform(match_img, census_win)
+    cb = census_transform(base_img, census_win, input_smooth_sigma)
+    cm = census_transform(match_img, census_win, input_smooth_sigma)
     cost = census_cost_volume_pallas_windowed(
         cb, cm, wstart, win_disp, num_disp, min_disp, interpret=interpret
     )

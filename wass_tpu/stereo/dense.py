@@ -107,6 +107,13 @@ class DenseStereoConfig:
     # c2f.compute_row_windows) above c2f_max_offband.
     c2f_min_coverage: float = 0.5
     c2f_max_offband: float = 2e-3
+    # Gaussian pre-smoothing of the rectified images before the census
+    # transform (stereo/cost.census_transform).  Default 0 (off): the
+    # clean-imagery design points are measured without it.  For
+    # JPEG-compressed archives set 0.8-1.5: measured q95 elevation error
+    # 0.0205 -> 0.0170/0.0163 (inside the 0.02 gate) at ~2% clean cost
+    # (bench/robustness.py dense_knob_sweep, ROBUSTNESS_r04).
+    input_smooth_sigma: float = 0.0
 
 
 class DenseFrameResult(NamedTuple):
@@ -235,6 +242,7 @@ def _dispatch_disparity(base_s: jnp.ndarray, match_s: jnp.ndarray, cfg: DenseSte
             factor=cfg.c2f_factor,
             win_disp=cfg.c2f_window,
             use_pallas=True,
+            input_smooth_sigma=cfg.input_smooth_sigma,
         )
     return sgm_disparity(
         base_s,
@@ -248,6 +256,7 @@ def _dispatch_disparity(base_s: jnp.ndarray, match_s: jnp.ndarray, cfg: DenseSte
         uniqueness_ratio=cfg.uniqueness_ratio,
         lr_max_diff=cfg.lr_max_diff,
         use_pallas=_pallas_ok(cfg),
+        input_smooth_sigma=cfg.input_smooth_sigma,
     )
 
 
@@ -562,9 +571,9 @@ from wass_tpu.stereo.cost import census_transform as _census, census_cost_volume
 from wass_tpu.stereo.sgm import sgm_aggregate as _agg_scan, wta_disparity as _wta
 
 
-@partial(jax.jit, static_argnames=("win",))
-def _jit_census(img, win):
-    return _census(img, win)
+@partial(jax.jit, static_argnames=("win", "smooth_sigma"))
+def _jit_census(img, win, smooth_sigma=0.0):
+    return _census(img, win, smooth_sigma)
 
 
 @partial(jax.jit, static_argnames=("num_disp", "min_disp", "pallas"))
@@ -788,8 +797,8 @@ class DenseStereoPipeline:
             sh, sw = round(h * cfg.dense_scale), round(w * cfg.dense_scale)
             base_rect = resize(base_rect, (sh, sw), interp="cubic")
             match_rect = resize(match_rect, (sh, sw), interp="cubic")
-        cb = _jit_census(base_rect, cfg.census_win)
-        cm = _jit_census(match_rect, cfg.census_win)
+        cb = _jit_census(base_rect, cfg.census_win, cfg.input_smooth_sigma)
+        cm = _jit_census(match_rect, cfg.census_win, cfg.input_smooth_sigma)
         self.last_c2f = None
         use_c2f = _c2f_active(cfg, base_rect.shape)
         if use_c2f:

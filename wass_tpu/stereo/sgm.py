@@ -219,6 +219,7 @@ def sgm_disparity(
     uniqueness_ratio: int = 1,
     lr_max_diff: int = -1,
     use_pallas: bool = False,
+    input_smooth_sigma: float = 0.0,
 ) -> jnp.ndarray:
     """End-to-end dense disparity: census -> cost volume -> SGM -> WTA.
 
@@ -230,8 +231,8 @@ def sgm_disparity(
     """
     from wass_tpu.stereo.cost import census_transform, census_cost_volume
 
-    cb = census_transform(base_img, census_win)
-    cm = census_transform(match_img, census_win)
+    cb = census_transform(base_img, census_win, input_smooth_sigma)
+    cm = census_transform(match_img, census_win, input_smooth_sigma)
     cost = census_cost_volume(cb, cm, num_disp, min_disp)
     if use_pallas:
         if directions in (5, 8) and lr_max_diff < 0:
