@@ -67,6 +67,22 @@ def bench_e2e():
     n_frames = int(os.environ.get("WASS_BENCH_E2E_FRAMES", "12"))
     img0, img1, _, rig = _load_or_make_scene(W, H, 7)
 
+    # The tunneled host<->device relay's bandwidth varies by an order of
+    # magnitude across sessions (measured 0.1-28 MB/s download); probe it
+    # in-run so the e2e number carries its own environment context.
+    import jax.numpy as jnp
+
+    def _link_bw():
+        x = jax.block_until_ready(jnp.zeros((8 * 1024 * 1024,), jnp.uint8) + 1)
+        t0 = time.time()
+        np.asarray(x)
+        down = 8.0 / (time.time() - t0)
+        h = np.ones(8 * 1024 * 1024, np.uint8)
+        t0 = time.time()
+        jax.block_until_ready(jnp.asarray(h))
+        up = 8.0 / (time.time() - t0)
+        return down, up
+
     root = Path("/tmp/wass_bench_e2e")
     shutil.rmtree(root, ignore_errors=True)
     cfg = SequenceConfig(
@@ -89,19 +105,25 @@ def bench_e2e():
     pipe.stereo(wds[:2])
     print(f"# warm-up {time.time()-t0:.1f}s; timing {n_frames} frames...", file=sys.stderr)
 
+    bw0 = _link_bw()
     t0 = time.time()
     planes = pipe.stereo(wds)
     dt = (time.time() - t0) / n_frames
+    bw1 = _link_bw()
     n_ok = sum(1 for p in planes if np.all(np.isfinite(p)))
     assert (wds[-1].path / "mesh_cam.xyzC").exists()
     fps = 1.0 / dt
-    print(f"# e2e throughput {fps:.3f} frames/s (PNG->xyzC), {n_ok}/{n_frames} planes ok",
+    print(f"# e2e throughput {fps:.3f} frames/s (PNG->xyzC), {n_ok}/{n_frames} planes ok; "
+          f"relay down/up {bw0[0]:.1f}/{bw0[1]:.1f} MB/s before, "
+          f"{bw1[0]:.1f}/{bw1[1]:.1f} MB/s after",
           file=sys.stderr)
     print(json.dumps({
         "metric": f"e2e_png_to_xyzc_frames_per_s_{W}x{H}_D{D}",
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(fps * 30.0, 2),
+        "relay_MBps_down_up_before": [round(bw0[0], 1), round(bw0[1], 1)],
+        "relay_MBps_down_up_after": [round(bw1[0], 1), round(bw1[1], 1)],
     }))
 
 

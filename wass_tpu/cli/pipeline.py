@@ -57,11 +57,15 @@ class SequenceConfig:
     # disparity renders, coverage, component map — wass_stereo.cpp:854,
     # 1001,1017,1910-1926, PovMesh.cpp:982-984).
     debug_renders: bool = True
-    # Delta-code the .xyzC wire payload (3 bytes/point + rare u16
-    # exceptions instead of 6 bytes/point; byte-identical file after the
-    # host decode).  The tunneled host<->device link is the production
-    # e2e bottleneck, so halving the fetch directly raises frames/s.
-    wire_delta: bool = True
+    # Delta-code the .xyzC wire payload (3 bytes/point + u16 exception
+    # rows instead of 6 bytes/point; byte-identical file after the host
+    # decode).  Default OFF after measurement: real disparity maps carry
+    # 20-30% exception points (speckled invalid gaps), so the wire saving
+    # is ~25%, and the host decode (~1 s at 2.3e6 points on this 2-core
+    # VM) exceeds the ~0.2-0.5 s the saving buys at the relay's
+    # 14-28 MB/s; on a real PCIe host the direct fetch costs ~2 ms and
+    # delta is moot.  Enable for slow-link + fast-host deployments.
+    wire_delta: bool = False
 
 
 class SequencePipeline:
@@ -246,7 +250,11 @@ class SequencePipeline:
                     )
                 )
                 n_exc = int(nexc_dev)
-                if 3 * n_points + 6 * n_exc < 6 * n_points:
+                # Delta only when it buys a REAL wire saving (>= 25% fewer
+                # bytes): real disparity maps carry speckled invalid gaps
+                # that make 20-30% of points exceptions, where 3n + 6e
+                # barely undercuts 6n and the decode isn't free.
+                if 3 * n_points + 6 * n_exc < 0.75 * 6 * n_points:
                     delta_b = np.asarray(db_dev[:n_points])
                     exc_vals = np.asarray(exc_dev[:n_exc])
                     quant = decode_delta_payload(delta_b, exc_vals)
