@@ -150,11 +150,13 @@ def bench_accuracy():
     n_frames = int(os.environ.get("WASS_BENCH_ACC_FRAMES", "8"))
     n_stereo = 2
     # Full disparity coverage: this rig needs ~220 px of disparity at the
-    # bottom rows at 1536 wide (measured p99 hits a D=192 cap); starved
-    # pixels match garbage and blow the elevation error, so search 256
-    # like the reference always searching its full range
-    # (wass_stereo.cpp:742-744).  The c2f windowed path keeps it cheap.
-    D = 256
+    # bottom rows at 1536 wide (~293 px at 2048), so search the
+    # reference's full default range like it does
+    # (MAX_DISPARITY=640, wass_stereo.cpp:742-744) — the c2f windowed
+    # path makes the frame time nearly independent of D, and starved
+    # bottom rows otherwise match garbage and lift the elevation error
+    # (measured 0.0100 -> 0.0064 on the 3 MP bench scene, D=256 -> 640).
+    D = int(os.environ.get("WASS_BENCH_ACC_D", "640"))
 
     rig = make_rig(width=W, height=H)
     frames, gts = [], []
