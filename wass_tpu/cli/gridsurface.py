@@ -33,10 +33,13 @@ import numpy as np
               help="chunked per-point temporal zero-mean rewrite after gridding")
 @click.option("--no-images", is_flag=True, default=False,
               help="skip pushing JPEG cam frames into the cube")
+@click.option("--refine", "variational", is_flag=True, default=False,
+              help="photo-consistency surface refinement (experimental; "
+                   "the reference's TFVariationalRefinement)")
 @click.option("--mask", "mask_file", type=click.Path(exists=True), default=None,
               help="user grid mask: grayscale image of the grid size; zero pixels are "
                    "excluded from every frame (reference --mask, wassgridsurface.py:640)")
-def cli(workdir, outdir, action, baseline, gridsetup, area_center, area_size, grid_size, fps, algorithm, subsample, medianfilter, filter_outliers, force_zero_mean, no_images, mask_file):
+def cli(workdir, outdir, action, baseline, gridsetup, area_center, area_size, grid_size, fps, algorithm, subsample, medianfilter, filter_outliers, force_zero_mean, no_images, variational, mask_file):
     from wass_tpu.io.workdir import frame_workdirs
     from wass_tpu.grid.setup import grid_setup
     from wass_tpu.grid.gridding import GridConfig, grid_sequence
@@ -94,6 +97,7 @@ def cli(workdir, outdir, action, baseline, gridsetup, area_center, area_size, gr
         algorithm=algorithm, subsample_percent=subsample,
         median_filter_size=medianfilter, filter_outliers=filter_outliers,
         force_zero_mean=force_zero_mean, save_images=not no_images,
+        variational=variational,
     )
     user_mask = None
     if mask_file is not None:

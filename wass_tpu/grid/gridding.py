@@ -53,6 +53,13 @@ class GridConfig:
     # (wassgridsurface.py:494, image_id_to_save).
     image_id_to_save: int = 0
     save_images: bool = True
+    # Differentiable photo-consistency refinement of the gridded surface
+    # (grid/variational.py — the reference's experimental
+    # TFVariationalRefinement, call-site commented out there; off by
+    # default here too).
+    variational: bool = False
+    variational_iters: int = 400
+    variational_alpha: float = 10.0
 
 
 @partial(jax.jit, static_argnames=("shape", "nreps", "n_use"))
@@ -147,6 +154,20 @@ def grid_frame(
         filled = np.nan_to_num(Zi)
         Zi = np.asarray(median_filter(jnp.asarray(filled, jnp.float32), cfg.median_filter_size))
         Zi = np.where(mask > 0, Zi, np.nan)
+    if cfg.variational:
+        # Photo-consistency polish against the undistorted frames
+        # (the reference's experimental TFVariationalRefinement path).
+        from wass_tpu.grid.variational import variational_refine
+
+        I0 = workdir.load_undistorted(0).astype(np.float32)
+        I1 = workdir.load_undistorted(1).astype(np.float32)
+        P0cam, P1cam = workdir.load_projection_matrices()
+        Zi = np.asarray(variational_refine(
+            jnp.asarray(Zi, jnp.float32), I0, I1, P0cam, P1cam,
+            setup.Rpl, setup.Tpl, setup.XX, setup.YY, setup.baseline,
+            (mask > 0).astype(np.float32),
+            max_iters=cfg.variational_iters, alpha=cfg.variational_alpha,
+        ))
     return Zi, mask
 
 

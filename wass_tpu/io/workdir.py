@@ -125,6 +125,12 @@ class Workdir:
     def load_mesh_cam(self) -> np.ndarray:
         return load_camera_mesh(self.path / "mesh_cam.xyzC")
 
+    def load_projection_matrices(self):
+        return (
+            np.loadtxt(self.path / "P0cam.txt"),
+            np.loadtxt(self.path / "P1cam.txt"),
+        )
+
     def save_projection_matrices(self, P0: np.ndarray, P1: np.ndarray) -> None:
         matrices.save_matrix_txt(self.path / "P0cam.txt", P0)
         matrices.save_matrix_txt(self.path / "P1cam.txt", P1)
