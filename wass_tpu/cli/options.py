@@ -47,6 +47,9 @@ def register_all() -> None:
     matcher_cfg.register(int, "FEATURE_INIT_SAMPLES", 1, "Compatibility option (OpenSURF init samples)")
     matcher_cfg.register(int, "AREA_SUBDIVISION", 5, "Number of image subdivisons to improve feature distribution")
     matcher_cfg.register(float, "NNDR", 0.25, "Nearest neighbour distance ratio used to select best matches. Note: ignored if MATCHER_SKIP_GT=false")
+    # Framework extensions (not in the reference's INCFG set):
+    matcher_cfg.register(float, "MATCHER_INPUT_SMOOTH_SIGMA", 0.8, "Gaussian pre-smoothing of the 8-bit inputs before detection/LK (0 disables; 1.5 recommended for noisy/JPEG archives)")
+    matcher_cfg.register(int, "MATCHER_LK_WIN", 0, "LK refinement half-window (0 = auto: scales with image width)")
 
     # ---- stereo ----------------------------------------------------------
     s = stereo_cfg
@@ -96,6 +99,8 @@ def register_all() -> None:
     s.register(bool, "PLANE_WEIGHT_PROPORTIONAL_TO_DISTANCE", True, "use point to camera distance as weight during LLS plane fitting")
     s.register(bool, "PLANE_USE_CENTRAL_THIRD_ONLY", False, "use only the central third of the image to estimate the mean sea plane")
     s.register(float, "PLANE_REFINEMENT_MAX_DISTANCE", 70.0, "max point distance for plane refinement")
+    # Framework extension (not in the reference's INCFG set):
+    s.register(float, "DENSE_INPUT_SMOOTH_SIGMA", 0.0, "Gaussian pre-smoothing of the rectified images before the census transform (0 disables; 0.8-1.5 recommended for JPEG archives)")
 
     # ---- optical-flow path (wass_stereo.cpp:78-83; the reference gates
     # this behind the WASS_ENABLE_OPTFLOW compile-time define, off by
@@ -140,6 +145,7 @@ def stereo_config_from_registry():
         plane_weight_by_distance=g("PLANE_WEIGHT_PROPORTIONAL_TO_DISTANCE"),
         min_triangulated=g("MIN_TRIANGULATED_POINTS"),
         random_seed=max(g("RANDOM_SEED"), 0),
+        input_smooth_sigma=g("DENSE_INPUT_SMOOTH_SIGMA"),
     )
 
 
@@ -178,6 +184,8 @@ def match_config_from_registry():
         hessian_threshold=g("FEATURE_HESSIAN_THRESHOLD"),
         feature_grid_cell=max(int(g("FEATURE_MIN_DISTANCE")), 2),
         area_subdivision=g("AREA_SUBDIVISION"),
+        input_smooth_sigma=g("MATCHER_INPUT_SMOOTH_SIGMA"),
+        lk_win=g("MATCHER_LK_WIN"),
     )
 
 
