@@ -70,5 +70,5 @@ dT = float(np.abs(res.T.ravel() - Tg).max())
 print(
     f"autocal {time.time()-t0:.1f}s: pooled inliers {res.n_inliers}, "
     f"dR {dR:.3e} (target 3e-4, gate 5e-3), dT {dT:.3e} (gate 2e-2), "
-    f"epi before/after {res.epi_avg_before:.4f}/{res.epi_avg_after:.4f} px"
+    f"epi before/after {res.epi_med_before:.4f}/{res.epi_med_after:.4f} px"
 )

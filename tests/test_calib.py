@@ -93,7 +93,7 @@ class TestAutocalibrate:
         assert np.abs(res.R - R).max() < 5e-3
         assert np.abs(res.T.ravel() - T).max() < 2e-2
         # BA must not degrade the RANSAC+GN initialization (f32 jitter slack).
-        assert res.epi_avg_after <= res.epi_avg_before + 1e-4
+        assert res.epi_med_after <= res.epi_med_before + 1e-4
 
     def test_f64_polish_beats_f32_floor(self, rng):
         """The final host polish (polish_pose_f64) must recover rotation

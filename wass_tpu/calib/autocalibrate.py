@@ -30,8 +30,8 @@ from wass_tpu.match.pose import relative_pose_ransac
 class AutocalResult(NamedTuple):
     R: np.ndarray  # refined cam0->cam1 rotation
     T: np.ndarray  # refined translation, unit norm
-    epi_avg_before: float  # median Sampson px over pooled inliers, RANSAC pose
-    epi_avg_after: float  # same metric under the returned pose (never worse)
+    epi_med_before: float  # median Sampson px over pooled inliers, RANSAC pose
+    epi_med_after: float  # same metric under the returned pose (never worse)
     n_inliers: int
     improved: bool
 
@@ -245,8 +245,8 @@ def autocalibrate_pooled(
     return AutocalResult(
         R=Rf,
         T=np.asarray(Tf).reshape(3, 1),
-        epi_avg_before=before_med,
-        epi_avg_after=final_med,
+        epi_med_before=before_med,
+        epi_med_after=final_med,
         n_inliers=int(good.sum()),
         improved=improved,
     )

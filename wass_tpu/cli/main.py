@@ -125,7 +125,7 @@ def autocalibrate(outdir):
     if res is None:
         raise click.ClickException("autocalibration failed (no matches?)")
     click.echo(
-        f"epipolar error {res.epi_avg_before:.4f} -> {res.epi_avg_after:.4f} px "
+        f"epipolar error {res.epi_med_before:.4f} -> {res.epi_med_after:.4f} px "
         f"({res.n_inliers} inliers, {'accepted' if res.improved else 'kept RANSAC pose'})"
     )
 

@@ -148,8 +148,8 @@ class SequencePipeline:
             else:
                 f.write(f"[INFO] pooled inliers: {res.n_inliers}\n")
                 f.write(
-                    f"[INFO] avg epipolar error before/after BA: "
-                    f"{res.epi_avg_before:.6f} / {res.epi_avg_after:.6f} px\n"
+                    f"[INFO] median epipolar error before/after BA: "
+                    f"{res.epi_med_before:.6f} / {res.epi_med_after:.6f} px\n"
                 )
                 f.write(f"[INFO] accepted (improved): {res.improved}\n")
             f.write(f"[INFO] wall time: {_time.time()-t0:.3f}s\n")
@@ -220,7 +220,13 @@ class SequencePipeline:
             return np.full(4, np.nan)
 
         plane = np.array(res.plane, np.float64)
-        wd.save_plane(plane if bool(res.plane_ok) else None)
+        if not bool(res.plane_ok):
+            # Degenerate plane fit: record a nan plane so this host's
+            # sequence aggregate agrees with the remote allgather gating
+            # (plane_ok AND the point gate) and export falls back to the
+            # camera frame below.
+            plane = np.full(4, np.nan)
+        wd.save_plane(plane if np.all(np.isfinite(plane)) else None)
         log_lines.append("plane: " + " ".join(f"{v:.6g}" for v in plane))
 
         # Export the compressed mesh in the sea-plane frame (the writer
@@ -238,7 +244,7 @@ class SequencePipeline:
             _Rp, _Tp, Rinv, Tinv = (
                 np.array(a, np.float64) for a in rt_from_plane(jnp.asarray(plane))
             )
-            if getattr(self.cfg, "wire_delta", True):
+            if self.cfg.wire_delta:
                 # Delta-coded wire: 3n bytes + rare u16 exceptions; the
                 # decode reconstructs the exact u16 values.  The scalar
                 # exception count is synced first so degenerate frames

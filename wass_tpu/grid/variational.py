@@ -1,4 +1,4 @@
-"""Differentiable photo-consistency surface refinement (JAX/optax).
+"""Differentiable photo-consistency surface refinement (JAX).
 
 Functional counterpart of the reference's experimental
 TFVariationalRefinement
@@ -78,8 +78,6 @@ def variational_refine(
 
     Returns (H, W) refined Z with NaNs outside the mask.
     """
-    import optax
-
     H, W = Z.shape
     Zf = jnp.nan_to_num(jnp.asarray(Z, jnp.float32))
     m = jnp.asarray(mask, jnp.float32)
@@ -115,16 +113,24 @@ def variational_refine(
         return data + alpha * smooth
 
     Zc0 = jax.image.resize(Zf, (H // coarse_factor, W // coarse_factor), "bilinear")
-    opt = optax.adam(lr, eps=1e-7)
-    state0 = opt.init(Zc0)
     grad_fn = jax.grad(loss)
 
-    def step(_, carry):
-        Zc, st = carry
-        g = grad_fn(Zc)
-        upd, st = opt.update(g, st)
-        return (optax.apply_updates(Zc, upd), st)
+    # In-module Adam (same update rule/eps as the reference's
+    # tf.keras Adam; no external optimizer dependency).
+    b1, b2, eps = 0.9, 0.999, 1e-7
 
-    Zc, _ = jax.lax.fori_loop(0, max_iters, step, (Zc0, state0))
+    def step(i, carry):
+        Zc, mu, nu = carry
+        g = grad_fn(Zc)
+        mu = b1 * mu + (1.0 - b1) * g
+        nu = b2 * nu + (1.0 - b2) * g * g
+        t = (i + 1).astype(jnp.float32)
+        mhat = mu / (1.0 - jnp.power(b1, t))
+        nhat = nu / (1.0 - jnp.power(b2, t))
+        return (Zc - lr * mhat / (jnp.sqrt(nhat) + eps), mu, nu)
+
+    Zc, _, _ = jax.lax.fori_loop(
+        0, max_iters, step, (Zc0, jnp.zeros_like(Zc0), jnp.zeros_like(Zc0))
+    )
     Zfull = jax.image.resize(Zc, (H, W), "bilinear")
     return jnp.where(m > 0, Zfull, jnp.nan)

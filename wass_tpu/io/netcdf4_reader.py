@@ -30,6 +30,15 @@ import numpy as np
 _DIM_ONLY_MARKER = b"This is a netCDF dimension but not a netCDF variable"
 
 
+def _decode_attr(v):
+    """netCDF-style attribute decode (bytes -> str, 0-d -> scalar)."""
+    if isinstance(v, bytes):
+        return v.decode()
+    if isinstance(v, np.ndarray) and v.shape == ():
+        return v[()]
+    return v
+
+
 class Variable:
     """A netCDF variable: named dimensions + data access."""
 
@@ -65,11 +74,20 @@ class Variable:
     def __getitem__(self, key):
         return self._h5[key]
 
+    # Exact reserved names, matching netCDF-C's hidden-attribute policy
+    # (hiding only the precise HDF5 dimension-scale bookkeeping names, not
+    # every user attr that merely shares a prefix, e.g. "CLASS_ID").
+    _RESERVED = frozenset({"CLASS", "NAME", "DIMENSION_LIST", "REFERENCE_LIST"})
+
     def ncattrs(self):
-        return [k for k in self._h5.attrs if not k.startswith(("CLASS", "NAME", "DIMENSION_LIST", "REFERENCE_LIST", "_Netcdf4"))]
+        return [
+            k
+            for k in self._h5.attrs
+            if k not in self._RESERVED and not k.startswith("_Netcdf4")
+        ]
 
     def getncattr(self, name):
-        return self._h5.attrs[name]
+        return _decode_attr(self._h5.attrs[name])
 
 
 class Dataset:
@@ -124,12 +142,7 @@ class Dataset:
         return [k for k in self._h5.attrs if not k.startswith("_Netcdf4")]
 
     def getncattr(self, name):
-        v = self._h5.attrs[name]
-        if isinstance(v, bytes):
-            return v.decode()
-        if isinstance(v, np.ndarray) and v.shape == ():
-            return v[()]
-        return v
+        return _decode_attr(self._h5.attrs[name])
 
     def __getitem__(self, name) -> Variable:
         if "/" in name:
