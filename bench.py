@@ -229,15 +229,19 @@ def main():
     if small:
         W, H, D = 512, 384, 64
     else:
-        # WASS_BENCH_D=640 measures the reference design point
-        # (MAX_DISPARITY=640, wass_stereo.cpp:742-744): the c2f windowed
-        # path makes frame time nearly independent of the search range.
-        # WASS_BENCH_W/H=2560/1920 measures the full 5 MP reference rig
-        # (doc/src/render/documentation/stereo.html.md:13-16), where the
-        # >3e6-point density gate (verify_meshes.m:8) applies natively.
+        # Default = the reference design point: full MAX_DISPARITY=640
+        # search range (wass_stereo.cpp:742-744) at the 3 MP frame size —
+        # the c2f windowed path makes frame time nearly independent of D,
+        # and a starved D=256 range on this scene trips the coverage
+        # guard into full-range fallback, which benchmarks the fallback
+        # rather than the production path.  WASS_BENCH_D=256 keeps the
+        # old secondary row; WASS_BENCH_W/H=2560/1920 measures the full
+        # 5 MP reference rig (doc/src/render/documentation/
+        # stereo.html.md:13-16), where the >3e6-point density gate
+        # (verify_meshes.m:8) applies natively.
         W = int(os.environ.get("WASS_BENCH_W", "2048"))
         H = int(os.environ.get("WASS_BENCH_H", "1536"))
-        D = int(os.environ.get("WASS_BENCH_D", "256"))
+        D = int(os.environ.get("WASS_BENCH_D", "640"))
 
     import jax
 

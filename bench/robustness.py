@@ -161,6 +161,71 @@ def pooled_pose_sweep():
         print(f"| {name} | {nf} | {ni} | {pdR:.1e} | {pdT:.1e} | {dR:.1e} | {dT:.1e} |")
 
 
+def noise_s8_sweep():
+    """Mitigation search for the one degradation with no passing row in
+    r04: additive sensor noise sigma=8.  Sweeps the matcher pre-smoothing
+    sigma (the auto policy's noise_heavy tier) and a doubled feature
+    budget over the pooled production pose path."""
+    import dataclasses
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from wass_tpu.calib.autocalibrate import AutocalConfig, autocalibrate_pooled
+    from wass_tpu.match.pipeline import MatchConfig, match_frame
+
+    W, H = 1024, 768
+    n_frames = 8
+    frames = []
+    rig = None
+    for i in range(n_frames):
+        img0, img1, _, rig = _canonical_rig_scene(W, H, seed=17, time_s=i * 0.2)
+        frames.append((img0.astype(np.float64), img1.astype(np.float64)))
+    Tg = rig.T / np.linalg.norm(rig.T)
+
+    variants = [
+        ("sigma=1.5", MatchConfig(input_smooth_sigma=1.5)),
+        ("sigma=2.0", MatchConfig(input_smooth_sigma=2.0)),
+        ("sigma=2.5", MatchConfig(input_smooth_sigma=2.5)),
+        ("sigma=3.0", MatchConfig(input_smooth_sigma=3.0)),
+        ("sigma=2.0 nf=4000",
+         MatchConfig(input_smooth_sigma=2.0, num_features=4000)),
+        ("sigma=2.0 16f", MatchConfig(input_smooth_sigma=2.0)),
+    ]
+    print("\n| noise s=8 variant | frames ok | pooled inliers | POOLED dR (<=5e-3) | POOLED dT (<=2e-2) |")
+    print("|---|---|---|---|---|")
+    for name, mcfg in variants:
+        n_use = 16 if "16f" in name else n_frames
+        uv0_all, uv1_all, nf_ok = [], [], 0
+        for i in range(n_use):
+            f0, f1 = frames[i % n_frames]
+            # 16f doubles the pool by re-degrading with fresh noise seeds.
+            d0 = add_noise(f0, 8, 1 + 10 * (i // n_frames))
+            d1 = add_noise(f1, 8, 2 + 10 * (i // n_frames))
+            res = match_frame(d0, d1, rig.K0, rig.K1, mcfg)
+            if res is None:
+                continue
+            nf_ok += 1
+            uv0_all.append(res.uv0_epi)
+            uv1_all.append(res.uv1_epi)
+        if not uv0_all:
+            print(f"| {name} | 0 | - | - | - |")
+            continue
+        ac = autocalibrate_pooled(
+            np.concatenate(uv0_all), np.concatenate(uv1_all),
+            rig.K0, rig.K1, AutocalConfig(),
+        )
+        if ac is None:
+            print(f"| {name} | {nf_ok} | 0 | - | - |")
+            continue
+        dR = float(np.abs(ac.R - rig.R).max())
+        dT = float(np.abs(ac.T.ravel() - Tg).max())
+        print(f"| {name} | {nf_ok} | {ac.n_inliers} | {dR:.1e} | {dT:.1e} |")
+        sys.stdout.flush()
+
+
 def fullres_matcher_sweep():
     """Matcher degradation rows at 2048x1536 — the resolution class where
     the >=400-match gate is defined (verify_matcher.m:5,18)."""
@@ -349,6 +414,8 @@ def main():
 if __name__ == "__main__":
     if os.environ.get("WASS_ROBUST_POOLED", "0") == "1":
         pooled_pose_sweep()
+    elif os.environ.get("WASS_ROBUST_S8", "0") == "1":
+        noise_s8_sweep()
     elif os.environ.get("WASS_ROBUST_FULLRES", "0") == "1":
         fullres_matcher_sweep()
     elif os.environ.get("WASS_ROBUST_DENSE_SWEEP", "0") == "1":

@@ -48,7 +48,7 @@ def register_all() -> None:
     matcher_cfg.register(int, "AREA_SUBDIVISION", 5, "Number of image subdivisons to improve feature distribution")
     matcher_cfg.register(float, "NNDR", 0.25, "Nearest neighbour distance ratio used to select best matches. Note: ignored if MATCHER_SKIP_GT=false")
     # Framework extensions (not in the reference's INCFG set):
-    matcher_cfg.register(float, "MATCHER_INPUT_SMOOTH_SIGMA", 0.8, "Gaussian pre-smoothing of the 8-bit inputs before detection/LK (0 disables; 1.5 recommended for noisy/JPEG archives)")
+    matcher_cfg.register(float, "MATCHER_INPUT_SMOOTH_SIGMA", -1.0, "Gaussian pre-smoothing of the 8-bit inputs before detection/LK (negative = AUTO from the estimated input degradation; 0 disables)")
     matcher_cfg.register(int, "MATCHER_LK_WIN", 0, "LK refinement half-window (0 = auto: scales with image width)")
 
     # ---- stereo ----------------------------------------------------------
@@ -100,7 +100,7 @@ def register_all() -> None:
     s.register(bool, "PLANE_USE_CENTRAL_THIRD_ONLY", False, "use only the central third of the image to estimate the mean sea plane")
     s.register(float, "PLANE_REFINEMENT_MAX_DISTANCE", 70.0, "max point distance for plane refinement")
     # Framework extension (not in the reference's INCFG set):
-    s.register(float, "DENSE_INPUT_SMOOTH_SIGMA", 0.0, "Gaussian pre-smoothing of the rectified images before the census transform (0 disables; 0.8-1.5 recommended for JPEG archives)")
+    s.register(float, "DENSE_INPUT_SMOOTH_SIGMA", -1.0, "Gaussian pre-smoothing of the rectified images before the census transform (negative = AUTO from the estimated input degradation; 0 disables)")
 
     # ---- optical-flow path (wass_stereo.cpp:78-83; the reference gates
     # this behind the WASS_ENABLE_OPTFLOW compile-time define, off by

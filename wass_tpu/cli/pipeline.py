@@ -59,13 +59,16 @@ class SequenceConfig:
     debug_renders: bool = True
     # Delta-code the .xyzC wire payload (3 bytes/point + u16 exception
     # rows instead of 6 bytes/point; byte-identical file after the host
-    # decode).  Default OFF after measurement: real disparity maps carry
-    # 20-30% exception points (speckled invalid gaps), so the wire saving
-    # is ~25%, and the host decode (~1 s at 2.3e6 points on this 2-core
-    # VM) exceeds the ~0.2-0.5 s the saving buys at the relay's
-    # 14-28 MB/s; on a real PCIe host the direct fetch costs ~2 ms and
-    # delta is moot.  Enable for slow-link + fast-host deployments.
-    wire_delta: bool = False
+    # decode).  Real disparity maps carry 20-30% exception points
+    # (speckled invalid gaps), so the wire saving is ~1.5 bytes/point,
+    # which wins only when the host decodes faster than the link ships
+    # those bytes (slow-link + fast-host; on a PCIe host the direct
+    # fetch costs ~2 ms and delta is moot).  None = AUTO (default):
+    # probe the device download bandwidth and the host decode rate once
+    # per sequence and pick the faster path (the measured break-even of
+    # E2E_r04; both sides of the decision are per-point, so frame size
+    # cancels).  True/False force it.
+    wire_delta: Optional[bool] = None
 
 
 class SequencePipeline:
@@ -380,6 +383,22 @@ class SequencePipeline:
         import jax
 
         wds = list(wds if wds is not None else self.workdirs())
+        if self.cfg.stereo.input_smooth_sigma < 0 and wds:
+            # AUTO pre-smoothing: estimate the sequence's degradation
+            # once from frame 0 (all hosts read the same file on the
+            # shared filesystem, so multi-process resolution agrees) and
+            # pin the resolved sigma for the whole sequence — one census
+            # program, no per-frame recompiles.
+            from wass_tpu.prepare.degradation import resolve_smooth_sigma
+
+            self.cfg.stereo = dataclasses.replace(
+                self.cfg.stereo,
+                input_smooth_sigma=resolve_smooth_sigma(
+                    -1.0, wds[0].load_undistorted(0), "dense"
+                ),
+            )
+        if self.cfg.wire_delta is None:
+            self.cfg.wire_delta = self._probe_wire_delta()
         if len(jax.devices()) > 1 and len(wds) > 1:
             planes = self._stereo_sharded(wds)
         else:
@@ -390,6 +409,49 @@ class SequencePipeline:
         if jax.process_index() == 0:
             self._write_sequence_outputs(wds, planes)
         return planes
+
+    @staticmethod
+    def _probe_wire_delta() -> bool:
+        """AUTO wire-format decision: enable the delta codec iff the host
+        decodes a point faster than the link ships the ~1.5 bytes/point
+        the codec saves (6n direct vs 3n + 6*~0.25n delta; the measured-
+        typical exception fraction).  Both rates are per-point, so the
+        decision is frame-size independent — exactly the break-even that
+        E2E_r04 derived by hand."""
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        from wass_tpu.io.xyzc import decode_delta_payload
+
+        # Download-bandwidth probe, adaptive size: start small so a slow
+        # tunneled relay doesn't spend tens of seconds probing.
+        mb = 0.25
+        down = 0.0
+        for _ in range(2):
+            n = int(mb * 1024 * 1024)
+            x = jax.block_until_ready(jnp.zeros((n,), jnp.uint8) + 1)
+            t0 = _time.time()
+            np.asarray(x)
+            dt = max(_time.time() - t0, 1e-9)
+            down = mb / dt
+            if dt > 0.1:
+                break
+            mb = 4.0  # fast link: re-probe bigger for accuracy
+        # Host decode-rate probe (synthetic 500k-point payload, ~25%
+        # exceptions like real frames).
+        npts = 500_000
+        rng = np.random.default_rng(0)
+        db = rng.integers(1, 256, (npts, 3)).astype(np.uint8)
+        exc = rng.random(npts) < 0.25
+        db[exc, 0] = 0
+        ev = rng.integers(0, 65535, (int(exc.sum()), 3)).astype(np.uint16)
+        t0 = _time.time()
+        decode_delta_payload(db, ev)
+        decode_s_per_pt = max(_time.time() - t0, 1e-9) / npts
+        link_s_per_pt = 1.5 / (down * 1024 * 1024)
+        return bool(link_s_per_pt > decode_s_per_pt)
 
     def _stereo_pipelined(self, wds, progress_stream=None) -> List[np.ndarray]:
         from collections import deque

@@ -60,7 +60,10 @@ class MatchConfig:
     # match accuracy (measured 30x worse pose dR on quantized inputs
     # without it).  The reference's KAZE operates on a nonlinear-diffusion
     # smoothed scale space for the same reason (FeatureSet.cpp:199).
-    input_smooth_sigma: float = 0.8
+    # Negative = AUTO (default): estimate the input's sensor-noise /
+    # JPEG-compression level and pick the measured-passing sigma
+    # (prepare/degradation.py; 0.8 clean, 1.5 noisy, 2.5 deep JPEG).
+    input_smooth_sigma: float = -1.0
     seed: int = 0
 
 
@@ -91,13 +94,16 @@ def match_frame(
     key = jax.random.PRNGKey(cfg.seed)
     k_match, k_ransac = jax.random.split(key)
 
+    from wass_tpu.prepare.degradation import resolve_smooth_sigma
+
+    smooth_sigma = resolve_smooth_sigma(cfg.input_smooth_sigma, img0, "match")
     img0 = jnp.asarray(img0, jnp.float32)
     img1 = jnp.asarray(img1, jnp.float32)
-    if cfg.input_smooth_sigma > 0:
+    if smooth_sigma > 0:
         from wass_tpu.match.features import _gauss_blur
 
-        img0 = _gauss_blur(img0, cfg.input_smooth_sigma)
-        img1 = _gauss_blur(img1, cfg.input_smooth_sigma)
+        img0 = _gauss_blur(img0, smooth_sigma)
+        img1 = _gauss_blur(img1, smooth_sigma)
 
     f0 = detect_features(
         jnp.asarray(img0, jnp.float32),

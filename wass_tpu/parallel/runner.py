@@ -209,6 +209,10 @@ class ShardedDenseRunner:
 
     def __init__(self, mesh: Mesh, cfg: DenseStereoConfig):
         self.mesh = mesh
+        # An unresolved AUTO (negative) input_smooth_sigma flows through:
+        # the census level maps the sentinel to the clean-input baseline
+        # (0.8) identically in every entry point; cli/pipeline.stereo
+        # resolves it against the actual input before building a runner.
         self.cfg = cfg
         self.cfg_full = dataclasses.replace(cfg, c2f_window=0)
         self.fsh = NamedSharding(mesh, P("frame"))

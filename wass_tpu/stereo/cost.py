@@ -40,7 +40,16 @@ def census_transform(
     takes jpeg-q95 elevation error 0.0205 -> 0.0170 (inside the 0.02
     gate) at a negligible clean-image cost (0.0100 -> 0.0102); see
     DenseStereoConfig.input_smooth_sigma.
+
+    A NEGATIVE sigma is the unresolved AUTO sentinel; at this level it
+    means the clean-input baseline 0.8, so every entry point that did
+    not run the degradation estimator (dense_stereo_device, direct
+    kernel users) behaves identically to a runner that resolved a clean
+    sequence.  Sequence-level callers (cli/pipeline.stereo) resolve the
+    sentinel against the actual input before it gets here.
     """
+    if smooth_sigma is not None and smooth_sigma < 0:
+        smooth_sigma = 0.8
     if smooth_sigma and smooth_sigma > 0:
         from wass_tpu.match.features import _gauss_blur
 

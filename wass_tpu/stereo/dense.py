@@ -108,12 +108,14 @@ class DenseStereoConfig:
     c2f_min_coverage: float = 0.5
     c2f_max_offband: float = 2e-3
     # Gaussian pre-smoothing of the rectified images before the census
-    # transform (stereo/cost.census_transform).  Default 0 (off): the
-    # clean-imagery design points are measured without it.  For
-    # JPEG-compressed archives set 0.8-1.5: measured q95 elevation error
-    # 0.0205 -> 0.0170/0.0163 (inside the 0.02 gate) at ~2% clean cost
-    # (bench/robustness.py dense_knob_sweep, ROBUSTNESS_r04).
-    input_smooth_sigma: float = 0.0
+    # transform (stereo/cost.census_transform).  Negative = AUTO
+    # (default): estimate the input degradation and pick the
+    # measured-passing sigma (prepare/degradation.py) — 0.8 baseline
+    # (takes JPEG-q95 elevation error 0.0205 -> 0.0170, inside the 0.02
+    # gate, at ~2% clean cost), 1.5 under sensor noise (best measured).
+    # Set explicitly (>= 0) to override; 0 disables.
+    # (bench/robustness.py dense_knob_sweep, ROBUSTNESS_r04.)
+    input_smooth_sigma: float = -1.0
 
 
 class DenseFrameResult(NamedTuple):
@@ -792,6 +794,12 @@ class DenseStereoPipeline:
 
     def __call__(self, base_rect, match_rect, base_img, match_img, geom_pack) -> DenseFrameResult:
         cfg = self.cfg
+        # AUTO (negative) input_smooth_sigma flows through unresolved: the
+        # census level maps the sentinel to the clean-input baseline 0.8,
+        # identically in every entry point (ShardedDenseRunner, the
+        # monolithic dense_stereo_device, and here).  Genuine degradation
+        # estimation happens once per sequence in cli/pipeline.stereo,
+        # where the host image is available without a device fetch.
         if cfg.dense_scale != 1.0:
             h, w = base_rect.shape
             sh, sw = round(h * cfg.dense_scale), round(w * cfg.dense_scale)
@@ -918,6 +926,18 @@ def dense_stereo_frame(
     images (the wass_prepare outputs)."""
     H, W = img0.shape
     geom = prepare_frame_geometry(K0, K1, R, T, (W, H), cam_distance=cfg.cam_distance)
+
+    if cfg.input_smooth_sigma < 0:
+        import dataclasses as _dc
+
+        from wass_tpu.prepare.degradation import resolve_smooth_sigma
+
+        cfg = _dc.replace(
+            cfg,
+            input_smooth_sigma=resolve_smooth_sigma(
+                cfg.input_smooth_sigma, img0, "dense"
+            ),
+        )
 
     b_img, m_img = (img0, img1) if geom.base_is_cam0 else (img1, img0)
     b = jnp.asarray(b_img, jnp.float32)

@@ -29,6 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 32000.0  # plain float: jnp scalars would be captured constants in the kernel
 
+# Horizontal pair in image layout + in-register h-fold (kills both XLA
+# transposes and the int16 h-sum HBM round-trip).  Flag kept only so
+# bench/_agg_fused_variants.py can A/B the schemes.
+_USE_H2 = True
+
 
 def _to_f32(x):
     """uint8 cost block -> float32 (Mosaic has no direct u8->f32 cast)."""
@@ -140,6 +145,94 @@ def _run_pair(cost: jnp.ndarray, P1: int, P2: int, shift: int = 0, interpret: bo
     )(cost, cost)
 
 
+def _step_roll(prev, cost_f32, P1, P2):
+    """_step with the +-1 disparity neighbors formed by lane rotates
+    instead of concatenates.  Bit-identical math; used where the operands
+    carry non-canonical vector layouts (sublane-sliced reads in the
+    image-layout pair kernel) that Mosaic's concatenate rejects — roll
+    materializes a fresh canonically-laid-out vector."""
+    D = prev.shape[-1]
+    minprev = jnp.min(prev, axis=-1, keepdims=True)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, prev.shape, prev.ndim - 1)
+    up = jnp.where(lanes == 0, _BIG, pltpu.roll(prev, 1, axis=prev.ndim - 1))
+    dn = jnp.where(
+        lanes == D - 1, _BIG, pltpu.roll(prev, (-1) % D, axis=prev.ndim - 1)
+    )
+    best = jnp.minimum(
+        jnp.minimum(prev, minprev + P2),
+        jnp.minimum(up, dn) + P1,
+    )
+    return cost_f32 + best - minprev
+
+
+def _pair_kernel_img(cf_ref, cb_ref, of_ref, ob_ref, fwd, bwd, *, P1, P2, G):
+    """Horizontal SGM pair in IMAGE layout: blocks are (H, G, D) column
+    slabs of the (H, W, D) volume, the grid walks the column axis, and
+    the carries are (H, D) slabs.  Reading the volume directly — and
+    emitting the per-direction costs back in image layout — removes both
+    XLA transposes and the int16 h-sum round-trip of the transposed
+    formulation (the downstream row-walk kernels fold the two uint8
+    volumes in-register).  The column axis is second-minor, so the g
+    slices are sublane-strided VMEM accesses; that relayout rides VMEM
+    bandwidth, while the HBM DMAs stay full-block."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        fwd[...] = jnp.full_like(fwd, _BIG)
+        bwd[...] = jnp.full_like(bwd, _BIG)
+
+    f = fwd[...]
+    b = bwd[...]
+    fs, bs = [], [None] * G
+    for g in range(G):
+        f = _step_roll(f, _to_f32(cf_ref[:, g, :]), P1, P2)
+        b = _step_roll(b, _to_f32(cb_ref[:, G - 1 - g, :]), P1, P2)
+        fs.append(f)
+        bs[G - 1 - g] = b
+    # Whole-block stores: assembling the (H, G, D) blocks with one stack
+    # keeps every value in the natural (0, 0) vector layout — per-column
+    # stores at sublane offsets back-propagate offset layouts into the
+    # recurrence and Mosaic rejects the resulting concatenates.
+    of_ref[...] = jnp.stack(fs, axis=1).astype(jnp.int32).astype(jnp.uint8)
+    ob_ref[...] = jnp.stack(bs, axis=1).astype(jnp.int32).astype(jnp.uint8)
+    fwd[...] = f
+    bwd[...] = b
+
+
+def _run_pair_img(cost: jnp.ndarray, P1: int, P2: int, interpret: bool = False):
+    """cost: (H, W, D) uint8 -> (hf, hb) uint8 in the SAME layout: the
+    left-to-right and right-to-left horizontal direction costs."""
+    H, W, D = cost.shape
+    # 2 input + 2 output uint8 blocks per step (blocks span full H).
+    G = _pick_G(W, H, D, 4)
+    kernel = functools.partial(_pair_kernel_img, P1=P1, P2=P2, G=G)
+    n_blocks = W // G
+    blk = (H, G, D)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(blk, lambda i: (0, i, 0)),
+            pl.BlockSpec(blk, lambda i: (0, n_blocks - 1 - i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(blk, lambda i: (0, i, 0)),
+            pl.BlockSpec(blk, lambda i: (0, n_blocks - 1 - i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, W, D), jnp.uint8),
+            jax.ShapeDtypeStruct((H, W, D), jnp.uint8),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, D), jnp.float32),
+            pltpu.VMEM((H, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(cost, cost)
+
+
 def _roll_mask(x, shift, B):
     """Slab-axis roll + boundary reset for a diagonal state (the logic of
     the original per-pair shift, factored for reuse)."""
@@ -222,12 +315,16 @@ def sgm_aggregate_pallas(cost: jnp.ndarray, P1: int, P2: int, directions: int = 
     c = cost if cost.dtype == jnp.uint8 else cost.astype(jnp.uint8)
     H, W, D = c.shape
 
-    cT = jnp.transpose(c, (1, 0, 2))  # (W, H, D) for the horizontal pair
-    hf, hb = _run_pair(cT, P1, P2, interpret=interpret)
-    agg = (
-        jnp.transpose(hf, (1, 0, 2)).astype(jnp.int16)
-        + jnp.transpose(hb, (1, 0, 2)).astype(jnp.int16)
-    )
+    if _USE_H2:
+        hf, hb = _run_pair_img(c, P1, P2, interpret=interpret)
+        agg = hf.astype(jnp.int16) + hb.astype(jnp.int16)
+    else:
+        cT = jnp.transpose(c, (1, 0, 2))  # (W, H, D) for the horizontal pair
+        hf, hb = _run_pair(cT, P1, P2, interpret=interpret)
+        agg = (
+            jnp.transpose(hf, (1, 0, 2)).astype(jnp.int16)
+            + jnp.transpose(hb, (1, 0, 2)).astype(jnp.int16)
+        )
 
     if directions == 5:
         # cv::StereoSGBM default path set (E, W, N, NW, NE): the
@@ -351,6 +448,126 @@ def _tri_dir_wta_kernel(
         out_ref[g] = _wta_row(total, D=D, min_disp=min_disp, uniq=uniq)
 
 
+def _h2_sum(hf_row, hb_row):
+    """Fold the two uint8 horizontal direction rows -> int32 sum."""
+    return hf_row.astype(jnp.int32) + hb_row.astype(jnp.int32)
+
+
+def _tri_dir_partial_kernel_h2(
+    c_ref, hf_ref, hb_ref, out_ref, s_v, s_d1, s_d2, *, P1, P2, G, reverse
+):
+    """_tri_dir_partial_kernel reading the horizontal pair as two uint8
+    volumes (image layout, from _run_pair_img) and summing them
+    in-register: out = hf + hb + v + d1 + d2.  Replaces the XLA
+    transpose+add h-sum pass (3 full int16-volume HBM round-trips)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        s_v[...] = jnp.full_like(s_v, 255)
+        s_d1[...] = jnp.full_like(s_d1, 255)
+        s_d2[...] = jnp.full_like(s_d2, 255)
+
+    B = s_v.shape[0]
+    sh = -1 if reverse else 1
+    for g0 in range(G):
+        g = G - 1 - g0 if reverse else g0
+        cf = _to_f32(c_ref[g])
+        v = _step(s_v[...], cf, P1, P2)
+        s_v[...] = v
+        d1 = _step(_roll_mask(s_d1[...], sh, B), cf, P1, P2)
+        s_d1[...] = d1
+        d2 = _step(_roll_mask(s_d2[...], -sh, B), cf, P1, P2)
+        s_d2[...] = d2
+        h = _h2_sum(hf_ref[g], hb_ref[g])
+        out_ref[g] = (h + (v + d1 + d2).astype(jnp.int32)).astype(jnp.int16)
+
+
+def _tri_dir_wta_kernel_h2(
+    c_ref, hf_ref, hb_ref, out_ref, s_v, s_d1, s_d2,
+    *, P1, P2, G, reverse, min_disp, uniq
+):
+    """Final walk + WTA with the horizontal pair read as two uint8
+    volumes and folded in-register (the 5-direction single-walk path)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        s_v[...] = jnp.full_like(s_v, 255)
+        s_d1[...] = jnp.full_like(s_d1, 255)
+        s_d2[...] = jnp.full_like(s_d2, 255)
+
+    B, D = s_v.shape
+    sh = -1 if reverse else 1
+    for g0 in range(G):
+        g = G - 1 - g0 if reverse else g0
+        cf = _to_f32(c_ref[g])
+        v = _step(s_v[...], cf, P1, P2)
+        s_v[...] = v
+        d1 = _step(_roll_mask(s_d1[...], sh, B), cf, P1, P2)
+        s_d1[...] = d1
+        d2 = _step(_roll_mask(s_d2[...], -sh, B), cf, P1, P2)
+        s_d2[...] = d2
+        total = _h2_sum(hf_ref[g], hb_ref[g]).astype(jnp.float32) + (v + d1 + d2)
+        out_ref[g] = _wta_row(total, D=D, min_disp=min_disp, uniq=uniq)
+
+
+def _run_tri_dir_partial_h2(cost, hf, hb, P1, P2, reverse, interpret=False):
+    """cost/hf/hb (S, B, D) uint8 -> int16 hf + hb + one walk's three
+    directions."""
+    S, B, D = cost.shape
+    G = _pick_G(S, B, D, 5)  # 3x u8 in + i16 out
+    n_blocks = S // G
+    kernel = functools.partial(
+        _tri_dir_partial_kernel_h2, P1=P1, P2=P2, G=G, reverse=reverse
+    )
+    blk = (G, B, D)
+    if reverse:
+        idx = lambda i: (n_blocks - 1 - i, 0, 0)
+    else:
+        idx = lambda i: (i, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(blk, idx)] * 3,
+        out_specs=pl.BlockSpec(blk, idx),
+        out_shape=jax.ShapeDtypeStruct((S, B, D), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32) for _ in range(3)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(cost, hf, hb)
+
+
+def _run_tri_dir_wta_h2(
+    cost, hf, hb, P1, P2, reverse, min_disp, uniq, interpret=False
+):
+    """cost/hf/hb (S, B, D) uint8 -> (S, B) float32 finished disparity."""
+    S, B, D = cost.shape
+    G = _pick_G(S, B, D, 3)
+    n_blocks = S // G
+    kernel = functools.partial(
+        _tri_dir_wta_kernel_h2, P1=P1, P2=P2, G=G, reverse=reverse,
+        min_disp=min_disp, uniq=uniq,
+    )
+    blk = (G, B, D)
+    if reverse:
+        idx = lambda i: (n_blocks - 1 - i, 0, 0)
+        idx2 = lambda i: (n_blocks - 1 - i, 0)
+    else:
+        idx = lambda i: (i, 0, 0)
+        idx2 = lambda i: (i, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(blk, idx)] * 3,
+        out_specs=pl.BlockSpec((G, B), idx2),
+        out_shape=jax.ShapeDtypeStruct((S, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32) for _ in range(3)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(cost, hf, hb)
+
+
 def _run_tri_dir_partial(cost, hsum, P1, P2, reverse, interpret=False):
     """cost (S, B, D) uint8 + hsum (S, B, D) int16 -> int16 hsum + the
     three directions of one walk."""
@@ -424,6 +641,21 @@ def sgm_wta_fused_pallas(
     assert directions in (5, 8)
     assert 64 + P2 < 256, "P2 too large for uint8 direction emissions"
     c = cost if cost.dtype == jnp.uint8 else cost.astype(jnp.uint8)
+
+    if _USE_H2:
+        hf, hb = _run_pair_img(c, P1, P2, interpret=interpret)
+        if directions == 5:
+            return _run_tri_dir_wta_h2(
+                c, hf, hb, P1, P2, reverse=False, min_disp=min_disp,
+                uniq=uniqueness_ratio, interpret=interpret,
+            )
+        partial = _run_tri_dir_partial_h2(
+            c, hf, hb, P1, P2, reverse=False, interpret=interpret
+        )
+        return _run_tri_dir_wta(
+            c, partial, P1, P2, reverse=True, min_disp=min_disp,
+            uniq=uniqueness_ratio, interpret=interpret,
+        )
 
     cT = jnp.transpose(c, (1, 0, 2))
     hf, hb = _run_pair(cT, P1, P2, interpret=interpret)
@@ -795,6 +1027,135 @@ def _tri_dir_wta_kernel_windowed(
         out_ref[g] = _wta_row(total, D=D, min_disp=1, uniq=uniq)
 
 
+def _tri_dir_partial_kernel_windowed_h2(
+    off_ref, c_ref, hf_ref, hb_ref, out_ref, s_v, s_d1, s_d2,
+    *, P1, P2, G, reverse
+):
+    """Windowed _tri_dir_partial_kernel_h2: the horizontal pair arrives as
+    two uint8 volumes (image layout) and is summed in-register."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        s_v[...] = jnp.full_like(s_v, 255)
+        s_d1[...] = jnp.full_like(s_d1, 255)
+        s_d2[...] = jnp.full_like(s_d2, 255)
+
+    _windowed_realign(off_ref, (s_v, s_d1, s_d2), i=i, n=n, reverse=reverse)
+
+    B = s_v.shape[0]
+    sh = -1 if reverse else 1
+    for g0 in range(G):
+        g = G - 1 - g0 if reverse else g0
+        cf = _to_f32(c_ref[g])
+        v = _step(s_v[...], cf, P1, P2)
+        s_v[...] = v
+        d1 = _step(_roll_mask(s_d1[...], sh, B), cf, P1, P2)
+        s_d1[...] = d1
+        d2 = _step(_roll_mask(s_d2[...], -sh, B), cf, P1, P2)
+        s_d2[...] = d2
+        h = _h2_sum(hf_ref[g], hb_ref[g])
+        out_ref[g] = (h + (v + d1 + d2).astype(jnp.int32)).astype(jnp.int16)
+
+
+def _tri_dir_wta_kernel_windowed_h2(
+    off_ref, c_ref, hf_ref, hb_ref, out_ref, s_v, s_d1, s_d2,
+    *, P1, P2, G, reverse, uniq
+):
+    """Windowed final walk + WTA with the in-register horizontal fold
+    (the 5-direction single-walk path)."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        s_v[...] = jnp.full_like(s_v, 255)
+        s_d1[...] = jnp.full_like(s_d1, 255)
+        s_d2[...] = jnp.full_like(s_d2, 255)
+
+    _windowed_realign(off_ref, (s_v, s_d1, s_d2), i=i, n=n, reverse=reverse)
+
+    B, D = s_v.shape
+    sh = -1 if reverse else 1
+    for g0 in range(G):
+        g = G - 1 - g0 if reverse else g0
+        cf = _to_f32(c_ref[g])
+        v = _step(s_v[...], cf, P1, P2)
+        s_v[...] = v
+        d1 = _step(_roll_mask(s_d1[...], sh, B), cf, P1, P2)
+        s_d1[...] = d1
+        d2 = _step(_roll_mask(s_d2[...], -sh, B), cf, P1, P2)
+        s_d2[...] = d2
+        total = _h2_sum(hf_ref[g], hb_ref[g]).astype(jnp.float32) + (v + d1 + d2)
+        out_ref[g] = _wta_row(total, D=D, min_disp=1, uniq=uniq)
+
+
+def _run_tri_dir_partial_windowed_h2(
+    cost, hf, hb, wstart_tiles, tile_rows, P1, P2, reverse, interpret=False
+):
+    S, B, D = cost.shape
+    G = tile_rows
+    assert S % G == 0
+    n_blocks = S // G
+    kernel = functools.partial(
+        _tri_dir_partial_kernel_windowed_h2, P1=P1, P2=P2, G=G, reverse=reverse
+    )
+    blk = (G, B, D)
+    if reverse:
+        idx = lambda i, off: (n_blocks - 1 - i, 0, 0)
+    else:
+        idx = lambda i, off: (i, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(blk, idx)] * 3,
+        out_specs=pl.BlockSpec(blk, idx),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32) for _ in range(3)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, B, D), jnp.int16),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(wstart_tiles.astype(jnp.int32), cost, hf, hb)
+
+
+def _run_tri_dir_wta_windowed_h2(
+    cost, hf, hb, wstart_tiles, tile_rows, P1, P2, reverse, uniq, interpret=False
+):
+    S, B, D = cost.shape
+    G = tile_rows
+    assert S % G == 0
+    n_blocks = S // G
+    kernel = functools.partial(
+        _tri_dir_wta_kernel_windowed_h2, P1=P1, P2=P2, G=G, reverse=reverse,
+        uniq=uniq,
+    )
+    blk = (G, B, D)
+    if reverse:
+        idx = lambda i, off: (n_blocks - 1 - i, 0, 0)
+        idx2 = lambda i, off: (n_blocks - 1 - i, 0)
+    else:
+        idx = lambda i, off: (i, 0, 0)
+        idx2 = lambda i, off: (i, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(blk, idx)] * 3,
+        out_specs=pl.BlockSpec((G, B), idx2),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32) for _ in range(3)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, B), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(wstart_tiles.astype(jnp.int32), cost, hf, hb)
+
+
 def _run_tri_dir_partial_windowed(
     cost, hsum, wstart_tiles, tile_rows, P1, P2, reverse, interpret=False
 ):
@@ -876,6 +1237,22 @@ def sgm_wta_fused_pallas_windowed(
     assert directions in (5, 8)
     c = cost if cost.dtype == jnp.uint8 else cost.astype(jnp.uint8)
 
+    if _USE_H2:
+        hf, hb = _run_pair_img(c, P1, P2, interpret=interpret)
+        if directions == 5:
+            return _run_tri_dir_wta_windowed_h2(
+                c, hf, hb, wstart_tiles, tile_rows, P1, P2, reverse=False,
+                uniq=uniqueness_ratio, interpret=interpret,
+            )
+        partial = _run_tri_dir_partial_windowed_h2(
+            c, hf, hb, wstart_tiles, tile_rows, P1, P2, reverse=False,
+            interpret=interpret,
+        )
+        return _run_tri_dir_wta_windowed(
+            c, partial, wstart_tiles, tile_rows, P1, P2, reverse=True,
+            uniq=uniqueness_ratio, interpret=interpret,
+        )
+
     cT = jnp.transpose(c, (1, 0, 2))
     hf, hb = _run_pair(cT, P1, P2, interpret=interpret)
     hsum = (
@@ -916,12 +1293,16 @@ def sgm_aggregate_pallas_windowed(
     assert directions in (2, 5, 8)
     c = cost if cost.dtype == jnp.uint8 else cost.astype(jnp.uint8)
 
-    cT = jnp.transpose(c, (1, 0, 2))
-    hf, hb = _run_pair(cT, P1, P2, interpret=interpret)
-    agg = (
-        jnp.transpose(hf, (1, 0, 2)).astype(jnp.int16)
-        + jnp.transpose(hb, (1, 0, 2)).astype(jnp.int16)
-    )
+    if _USE_H2:
+        hf, hb = _run_pair_img(c, P1, P2, interpret=interpret)
+        agg = hf.astype(jnp.int16) + hb.astype(jnp.int16)
+    else:
+        cT = jnp.transpose(c, (1, 0, 2))
+        hf, hb = _run_pair(cT, P1, P2, interpret=interpret)
+        agg = (
+            jnp.transpose(hf, (1, 0, 2)).astype(jnp.int16)
+            + jnp.transpose(hb, (1, 0, 2)).astype(jnp.int16)
+        )
     if directions == 2:
         return agg
     tf = _run_tri_dir_windowed(
