@@ -188,6 +188,16 @@ class SequencePipeline:
         t0 = _time.time()
         log_lines = []
 
+        # Deferred c2f fallback resolution (writer-thread side of the
+        # speculative dispatch): sync the coverage scalars and re-run this
+        # frame full-range if the guard trips.
+        pipe = extras.get("pipe")
+        if pipe is not None and extras.get("c2f") is not None:
+            res, extras["c2f"] = pipe.resolve_fallback(
+                res, extras["c2f"], *extras["rect"], *extras["dev_imgs"],
+                extras["gp"],
+            )
+
         # Projection matrices / camera poses in the cam0 frame, using the
         # same baseline-normalized T as the reconstruction
         # (wass_stereo.cpp:1888-1894).
@@ -464,7 +474,10 @@ class SequencePipeline:
         from wass_tpu.utils.progress import progress
 
         cfg = self.cfg.stereo
-        pipe = DenseStereoPipeline(cfg)
+        # Deferred c2f fallback: the dispatch loop never waits on the
+        # coverage scalars — writer threads resolve them (and re-run the
+        # rare tripped frame full-range) while later frames compute.
+        pipe = DenseStereoPipeline(cfg, defer_c2f_fallback=True)
         depth = max(1, self.cfg.dispatch_depth)
 
         prefetcher = native.Prefetcher(4) if native.available() else None
@@ -509,6 +522,7 @@ class SequencePipeline:
                 extras = {
                     "rect": (base_rect, match_rect), "imgs": (b_img, m_img),
                     "c2f": pipe.last_c2f,
+                    "pipe": pipe, "dev_imgs": (b, m), "gp": gp,
                 }
                 fut = writers.submit(
                     self._finalize_stereo_frame, wd, geom, res, K0, K1, extras

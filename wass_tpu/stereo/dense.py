@@ -785,12 +785,21 @@ class DenseStereoPipeline:
     TPU compiler, caches independently, and the extra dispatches are
     negligible."""
 
-    def __init__(self, cfg: DenseStereoConfig):
+    def __init__(self, cfg: DenseStereoConfig, defer_c2f_fallback: bool = False):
         self.cfg = cfg
         # Per-frame c2f window diagnostics of the most recent __call__:
         # dict(coverage=, offband=, fallback=) or None (c2f inactive).
         # Production (cli/pipeline.py) logs these into wass_stereo_log.txt.
         self.last_c2f: Optional[dict] = None
+        # Deferred fallback: __call__ dispatches the windowed fine path
+        # unconditionally and leaves coverage/offband as DEVICE scalars in
+        # last_c2f (fallback=None) — no host round-trip on the dispatch
+        # path.  The caller invokes resolve_fallback() when it consumes
+        # the frame (production: in the writer thread, overlapped with
+        # the next frames' compute), re-running the rare tripped frame at
+        # full range.  Same speculative model as ShardedDenseRunner.
+        self.defer_c2f_fallback = defer_c2f_fallback
+        self._full_pipe: Optional["DenseStereoPipeline"] = None
 
     def __call__(self, base_rect, match_rect, base_img, match_img, geom_pack) -> DenseFrameResult:
         cfg = self.cfg
@@ -814,15 +823,22 @@ class DenseStereoPipeline:
 
             disp_c = _jit_c2f_coarse(base_rect, match_rect, cfg)
             wstart, _cov, _offb = _jit_c2f_windows(disp_c, cfg)
-            # Host decision point: a scalar sync on the (cheap) coarse
-            # pass.  Earlier frames' fine-stage work is still queued on
-            # the device, so the dispatch pipeline stays busy.
-            cov_v, offb_v = float(_cov), float(_offb)
-            fallback = c2f_should_fallback(cov_v, offb_v, cfg)
-            self.last_c2f = {
-                "coverage": cov_v, "offband": offb_v, "fallback": fallback,
-            }
-            use_c2f = not fallback
+            if self.defer_c2f_fallback:
+                # No host sync here: keep the diagnostics as device
+                # scalars; resolve_fallback() decides later.
+                self.last_c2f = {
+                    "coverage": _cov, "offband": _offb, "fallback": None,
+                }
+            else:
+                # Host decision point: a scalar sync on the (cheap) coarse
+                # pass.  Earlier frames' fine-stage work is still queued on
+                # the device, so the dispatch pipeline stays busy.
+                cov_v, offb_v = float(_cov), float(_offb)
+                fallback = c2f_should_fallback(cov_v, offb_v, cfg)
+                self.last_c2f = {
+                    "coverage": cov_v, "offband": offb_v, "fallback": fallback,
+                }
+                use_c2f = not fallback
         if use_c2f:
             cost = _jit_cost_windowed(
                 cb, cm, wstart, cfg.c2f_window, cfg.num_disp, cfg.min_disp
@@ -857,6 +873,30 @@ class DenseStereoPipeline:
             disparity=disp, n_points=jnp.sum(valid),
             fail_reasons=reasons,
         )
+
+    def resolve_fallback(
+        self, res, c2f_info, base_rect, match_rect, base_img, match_img,
+        geom_pack,
+    ):
+        """Consume the deferred c2f diagnostics of one frame: sync the two
+        scalars, and if the coverage guard trips, re-run the frame at full
+        range (speculation lost only on the rare bad frame).  Returns
+        (result, resolved c2f dict)."""
+        if c2f_info is None or c2f_info.get("fallback") is not None:
+            return res, c2f_info
+        cov_v = float(c2f_info["coverage"])
+        offb_v = float(c2f_info["offband"])
+        fallback = c2f_should_fallback(cov_v, offb_v, self.cfg)
+        info = {"coverage": cov_v, "offband": offb_v, "fallback": fallback}
+        if fallback:
+            if self._full_pipe is None:
+                self._full_pipe = DenseStereoPipeline(
+                    dataclasses.replace(self.cfg, c2f_window=0)
+                )
+            res = self._full_pipe(
+                base_rect, match_rect, base_img, match_img, geom_pack
+            )
+        return res, info
 
 
 def build_geom_pack(geom: "FrameGeometry", image_shape) -> dict:

@@ -48,14 +48,17 @@ def ransac_find_plane(
     uv = jax.random.randint(k1, (rounds, 3, 2), 0, jnp.array([W, H]))  # (rounds, 3, [x, y])
 
     # Inlier counting runs on a strided subsample on large frames: the
-    # count is only used to *rank* hypotheses, and a 1/4 systematic sample
+    # count is only used to *rank* hypotheses, and a systematic sample
     # ranks identically in practice while cutting the rounds x pixels
-    # traffic 4x (the refine stage still uses every point).
-    stride = 2 if (H * W) > (1 << 20) else 1
-    pts_s = points[::stride, ::stride]
-    valid_s = valid[::stride, ::stride]
+    # traffic (the refine stage still uses every point).  At 3 MP the
+    # stride-4 sample still scores ~200k points per hypothesis.
+    npix = H * W
+    stride = 4 if npix > (1 << 21) else (2 if npix > (1 << 20) else 1)
+    pts_s = points[::stride, ::stride].reshape(-1, 3)
+    valid_s = valid[::stride, ::stride].reshape(-1)
 
-    def score(uv3):
+    def hypo(uv3):
+        """Plane hypothesis from 3 pixel picks (no scoring here)."""
         px = uv3[:, 0]
         py = uv3[:, 1]
         far = (
@@ -72,12 +75,26 @@ def ransac_find_plane(
         n = n / jnp.maximum(norm, 1e-20)
         n = jnp.where(n[2] < 0, -n, n)
         d = -jnp.dot(n, p1)
-        dist = jnp.abs(pts_s @ n + d)
-        inl = jnp.sum((dist < distance_threshold) & valid_s)
         good = far & ok3 & (norm > 1e-12)
-        return jnp.where(good, inl, 0), jnp.concatenate([n, d[None]])
+        return good, jnp.concatenate([n, d[None]])
 
-    counts, planes = jax.vmap(score)(uv)
+    good, planes = jax.vmap(hypo)(uv)
+    # Score every hypothesis in ONE streaming pass over the subsample
+    # (an (N, 3) x (3, rounds) product) instead of `rounds` separate
+    # passes — the per-round formulation re-read the point sample 400
+    # times.  f32 precision: inlier membership at the threshold must not
+    # wobble with bf16 matmul passes.
+    dist = jnp.abs(
+        jnp.einsum(
+            "nc,rc->nr", pts_s, planes[:, :3],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + planes[None, :, 3]
+    )
+    counts = jnp.sum(
+        (dist < distance_threshold) & valid_s[:, None], axis=0, dtype=jnp.int32
+    )
+    counts = jnp.where(good, counts, 0)
     best = jnp.argmax(counts)
     n_valid = jnp.sum(valid_s)
     return PlaneFit(planes[best], counts[best], counts[best] >= n_valid // 10)

@@ -30,9 +30,14 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 32000.0  # plain float: jnp scalars would be captured constants in the kernel
 
 # Horizontal pair in image layout + in-register h-fold (kills both XLA
-# transposes and the int16 h-sum HBM round-trip).  Flag kept only so
-# bench/_agg_fused_variants.py can A/B the schemes.
-_USE_H2 = True
+# transposes and the int16 h-sum HBM round-trip) — MEASURED SLOWER on
+# TPU v5e (windowed aggregate 42.5 ms vs 29.7 ms, bench/
+# _agg_fused_variants.py 2026-08-21): the pair kernel's scan axis is
+# second-minor in image layout, so every per-column read/write is a
+# sublane-sliced access whose Mosaic relayouts cost more than the
+# ~1.2 GB/frame of HBM traffic the scheme saves.  Kept (bit-exact, of
+# architectural record) behind the flag; default OFF.
+_USE_H2 = False
 
 
 def _to_f32(x):
