@@ -232,3 +232,58 @@ def test_wta_windowed_invalid_marker():
     d = np.asarray(wta_disparity_windowed(agg, off, uniqueness_ratio=1))
     # Unique winner at lane 3 -> disparity 8 everywhere (interior lanes).
     assert np.all(d == 8.0)
+
+
+def test_deferred_fallback_resolution():
+    """resolve_fallback (the writer-thread side of deferred c2f
+    speculation): device-scalar diagnostics below the coverage guard must
+    trigger a full-range re-run matching the full-range pipeline; healthy
+    diagnostics must pass the speculative result through untouched.
+    (The windowed dispatch itself is TPU-gated; the deferral handshake is
+    backend-independent and tested here on CPU.)"""
+    import dataclasses
+
+    from wass_tpu.stereo.dense import (
+        DenseStereoConfig, DenseStereoPipeline, build_geom_pack,
+        prepare_frame_geometry, rectify_on_device,
+    )
+    from wass_tpu.testing import make_scene
+
+    h, w = 64, 96
+    sc = make_scene(seed=5, width=w, height=h, wave_amplitude=0.25)
+    rig = sc.rig
+    cfg = DenseStereoConfig(
+        num_disp=32, min_disp=1, c2f_window=16, c2f_factor=2,
+        plane_ransac_rounds=64, plane_ransac_threshold=0.1,
+        plane_max_distance=0.3,
+    )
+    geom = prepare_frame_geometry(rig.K0, rig.K1, rig.R, rig.T, (w, h))
+    gp = build_geom_pack(geom, (h, w))
+    b_img, m_img = (sc.img0, sc.img1) if geom.base_is_cam0 else (sc.img1, sc.img0)
+    b = jnp.asarray(np.asarray(b_img), jnp.float32)
+    m = jnp.asarray(np.asarray(m_img), jnp.float32)
+    br = rectify_on_device(b, geom.H_base, (h, w))
+    mr = rectify_on_device(m, geom.H_match, (h, w))
+
+    pipe = DenseStereoPipeline(cfg, defer_c2f_fallback=True)
+    res = pipe(br, mr, b, m, gp)  # CPU: full-range path, c2f inactive
+
+    # Healthy diagnostics (device scalars, unresolved): pass-through.
+    ok_info = {"coverage": jnp.float32(0.97), "offband": jnp.float32(1e-5),
+               "fallback": None}
+    res_ok, info_ok = pipe.resolve_fallback(res, ok_info, br, mr, b, m, gp)
+    assert info_ok["fallback"] is False
+    assert res_ok is res
+
+    # Tripped coverage guard: full-range re-run, matching the reference
+    # full-range pipeline bit-for-bit.
+    bad_info = {"coverage": jnp.float32(0.2), "offband": jnp.float32(1e-5),
+                "fallback": None}
+    res_fb, info_fb = pipe.resolve_fallback(res, bad_info, br, mr, b, m, gp)
+    assert info_fb["fallback"] is True
+    full = DenseStereoPipeline(dataclasses.replace(cfg, c2f_window=0))
+    ref = full(br, mr, b, m, gp)
+    assert int(res_fb.n_points) == int(ref.n_points)
+    np.testing.assert_allclose(
+        np.asarray(res_fb.plane), np.asarray(ref.plane), atol=1e-6
+    )

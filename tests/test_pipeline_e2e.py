@@ -150,3 +150,25 @@ class TestSequencePipeline:
             assert trimmed.mean() < 0.04
             # Failure-map artifact (wass_stereo.cpp:1114-1119 equivalent).
             assert (wd.path / "triangulation_failmap.jpg").exists()
+
+
+class TestWireDeltaAuto:
+    def test_break_even_flips(self):
+        """The AUTO wire decision must pick delta on slow-link/fast-host
+        and direct on fast-link/slow-host (the E2E_r04 break-even)."""
+        from wass_tpu.cli.pipeline import SequencePipeline
+
+        d = SequencePipeline._wire_delta_decision
+        # This 2-core VM decodes ~4e-7 s/pt; a 28 MB/s relay ships the
+        # saved 1.5 B/pt in 5.1e-8 s -> direct wins.
+        assert d(28.0, 4e-7) is False
+        # A 1 MB/s relay: 1.4e-6 s/pt on the wire -> delta wins.
+        assert d(1.0, 4e-7) is True
+        # A PCIe-class host link (2 GB/s): delta is always moot.
+        assert d(2000.0, 1e-7) is False
+
+    def test_probe_returns_bool_and_resolves(self, tmp_path):
+        from wass_tpu.cli.pipeline import SequencePipeline
+
+        got = SequencePipeline._probe_wire_delta()
+        assert got in (True, False)

@@ -421,13 +421,18 @@ class SequencePipeline:
         return planes
 
     @staticmethod
-    def _probe_wire_delta() -> bool:
-        """AUTO wire-format decision: enable the delta codec iff the host
-        decodes a point faster than the link ships the ~1.5 bytes/point
-        the codec saves (6n direct vs 3n + 6*~0.25n delta; the measured-
-        typical exception fraction).  Both rates are per-point, so the
-        decision is frame-size independent — exactly the break-even that
-        E2E_r04 derived by hand."""
+    def _wire_delta_decision(link_MBps: float, decode_s_per_pt: float) -> bool:
+        """Pure break-even: enable the delta codec iff the host decodes a
+        point faster than the link ships the ~1.5 bytes/point the codec
+        saves (6n direct vs 3n + 6*~0.25n delta; the measured-typical
+        exception fraction).  Both rates are per-point, so the decision
+        is frame-size independent — the E2E_r04 break-even, encoded."""
+        link_s_per_pt = 1.5 / max(link_MBps * 1024 * 1024, 1e-9)
+        return bool(link_s_per_pt > decode_s_per_pt)
+
+    @staticmethod
+    def _probe_wire_rates() -> tuple:
+        """Measure (link download MB/s, host delta-decode s/point)."""
         import time as _time
 
         import jax
@@ -460,8 +465,12 @@ class SequencePipeline:
         t0 = _time.time()
         decode_delta_payload(db, ev)
         decode_s_per_pt = max(_time.time() - t0, 1e-9) / npts
-        link_s_per_pt = 1.5 / (down * 1024 * 1024)
-        return bool(link_s_per_pt > decode_s_per_pt)
+        return down, decode_s_per_pt
+
+    @classmethod
+    def _probe_wire_delta(cls) -> bool:
+        down, decode_s_per_pt = cls._probe_wire_rates()
+        return cls._wire_delta_decision(down, decode_s_per_pt)
 
     def _stereo_pipelined(self, wds, progress_stream=None) -> List[np.ndarray]:
         from collections import deque
