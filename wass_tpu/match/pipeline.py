@@ -94,9 +94,47 @@ def match_frame(
     key = jax.random.PRNGKey(cfg.seed)
     k_match, k_ransac = jax.random.split(key)
 
-    from wass_tpu.prepare.degradation import resolve_smooth_sigma
+    from wass_tpu.prepare.degradation import (
+        auto_smooth_sigma,
+        classify,
+        estimate_degradation,
+    )
 
-    smooth_sigma = resolve_smooth_sigma(cfg.input_smooth_sigma, img0, "match")
+    half_res = False
+    if cfg.input_smooth_sigma < 0:
+        est = estimate_degradation(np.asarray(img0))
+        smooth_sigma = auto_smooth_sigma(est, "match")
+        if classify(est) == "noise_heavy":
+            # Heavy sensor noise (sigma >= ~5 gray levels, ~20x this
+            # imagery's mean texture gradient): NO full-resolution
+            # smoothing level passes the pose gates (ROBUSTNESS_r05
+            # noise_s8_sweep, 7 variants).  A 2x2 block-mean halves the
+            # noise while the swell-scale texture survives: half-res
+            # matching at the clean sigma measures pooled dR 2.0e-3 /
+            # dT 1.7e-2 at sigma=8 — inside the gates.  Coordinates are
+            # mapped back to full resolution before returning.
+            half_res = True
+            smooth_sigma = 0.8
+    else:
+        smooth_sigma = float(cfg.input_smooth_sigma)
+
+    if half_res:
+        i0 = np.asarray(img0, np.float64)
+        i1 = np.asarray(img1, np.float64)
+        H2, W2 = (i0.shape[0] // 2) * 2, (i0.shape[1] // 2) * 2
+
+        def _half(a):
+            a = a[:H2, :W2]
+            return 0.25 * (
+                a[0::2, 0::2] + a[1::2, 0::2] + a[0::2, 1::2] + a[1::2, 1::2]
+            )
+
+        img0, img1 = _half(i0), _half(i1)
+        # Exact half-res pixel mapping u_half = S u_full (block centers).
+        _S = np.array([[0.5, 0.0, -0.25], [0.0, 0.5, -0.25], [0.0, 0.0, 1.0]])
+        K0 = _S @ np.asarray(K0, np.float64)
+        K1 = _S @ np.asarray(K1, np.float64)
+
     img0 = jnp.asarray(img0, jnp.float32)
     img1 = jnp.asarray(img1, jnp.float32)
     if smooth_sigma > 0:
@@ -217,6 +255,15 @@ def match_frame(
         min = d_sym.min() if d_sym.size else float("nan")
         max = d_sym.max() if d_sym.size else float("nan")
 
+    if half_res:
+        # Map coordinates back to full resolution (inverse of _S above);
+        # epipolar distances scale with the pixel grid.
+        uv0 = uv0 * 2.0 + 0.5
+        uv1 = uv1 * 2.0 + 0.5
+        epi_scale = 2.0
+    else:
+        epi_scale = 1.0
+
     return MatchStageResult(
         R=R,
         T=T.reshape(3, 1),
@@ -226,9 +273,9 @@ def match_frame(
         uv1_epi=uv1[inl],
         uv0_pose=uv0[pose_inl],
         uv1_pose=uv1[pose_inl],
-        epi_avg=float(stats.avg),
-        epi_std=float(stats.std),
-        epi_min=float(stats.min),
-        epi_max=float(stats.max),
+        epi_avg=float(stats.avg) * epi_scale,
+        epi_std=float(stats.std) * epi_scale,
+        epi_min=float(stats.min) * epi_scale,
+        epi_max=float(stats.max) * epi_scale,
         n_matches=int(pose_inl.sum()),
     )

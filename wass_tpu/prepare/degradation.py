@@ -99,8 +99,12 @@ BLOCKY_ON = 1.85  # JPEG q <= ~93
 
 # Sigmas quantized to the measured-passing set (a small discrete set
 # also bounds jit recompiles: the smoothing sigma is a static argument
-# of the census/detector programs).
-_MATCH_SIGMA = {"clean": 0.8, "noise": 1.5, "noise_heavy": 2.0, "jpeg": 2.5}
+# of the census/detector programs).  noise_heavy carries an additional
+# ACTION for the matcher: match_frame downsamples the pair 2x (block
+# mean) and applies the clean sigma there — the only measured-passing
+# configuration at sigma=8 (ROBUSTNESS_r05 noise_s8_sweep + half-res
+# probe: pooled dR 2.0e-3 / dT 1.7e-2).
+_MATCH_SIGMA = {"clean": 0.8, "noise": 1.5, "noise_heavy": 0.8, "jpeg": 2.5}
 _DENSE_SIGMA = {"clean": 0.8, "noise": 1.5, "noise_heavy": 1.5, "jpeg": 0.8}
 
 
