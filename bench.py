@@ -110,6 +110,25 @@ def bench_e2e():
     planes = pipe.stereo(wds)
     dt = (time.time() - t0) / n_frames
     bw1 = _link_bw()
+
+    # AUTO wire-format decision audit (VERDICT r04 item 7): the pipeline
+    # probed (link MB/s, host decode s/pt) and picked the wire format
+    # itself; report the probe inputs, the pick, and the decision the
+    # same break-even rule takes at both ends of the bandwidth range this
+    # relay has measured across sessions (0.1 and 28 MB/s), so the
+    # artifact shows the selector switching where it should.
+    probe_down, probe_decode = SequencePipeline._probe_wire_rates()
+    wire_auto = {
+        "probed_link_MBps": round(probe_down, 2),
+        "probed_decode_s_per_Mpt": round(probe_decode * 1e6, 3),
+        "picked_wire_delta": bool(pipe.cfg.wire_delta),
+        "decision_at_0.1_MBps": bool(
+            SequencePipeline._wire_delta_decision(0.1, probe_decode)
+        ),
+        "decision_at_28_MBps": bool(
+            SequencePipeline._wire_delta_decision(28.0, probe_decode)
+        ),
+    }
     n_ok = sum(1 for p in planes if np.all(np.isfinite(p)))
     assert (wds[-1].path / "mesh_cam.xyzC").exists()
     fps = 1.0 / dt
@@ -124,6 +143,7 @@ def bench_e2e():
         "vs_baseline": round(fps * 30.0, 2),
         "relay_MBps_down_up_before": [round(bw0[0], 1), round(bw0[1], 1)],
         "relay_MBps_down_up_after": [round(bw1[0], 1), round(bw1[1], 1)],
+        "wire_format_auto": wire_auto,
     }))
 
 

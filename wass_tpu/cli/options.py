@@ -33,14 +33,14 @@ def register_all() -> None:
     prepare_cfg.register(int, "CAM1_CLAHE_TILEGRIDSIZE", 0, "CAM1 CLAHE tile grid size (set to 0 to disable CLAHE). 150 is a good value to start")
 
     # ---- matcher ---------------------------------------------------------
-    matcher_cfg.register(int, "NUM_FEATURES_PER_IMAGE", 2000, "Maxmum number of image features to extract")
+    matcher_cfg.register(int, "NUM_FEATURES_PER_IMAGE", 0, "Maxmum number of image features to extract (0 = auto: 2000 below 1.5 MP, 4000 above)")
     matcher_cfg.register(float, "MATCHER_LAMBDA", 1e-5, "Matcher payoff lambda")
     matcher_cfg.register(float, "MATCHER_POPULATION_THRESHOLD", 0.7, "Matcher population threshold")
     matcher_cfg.register(int, "MATCHER_MIN_GROUP_SIZE", 5, "Matcher minimum required group size")
     matcher_cfg.register(int, "MATCHER_MAX_ROUNDS", 20, "Matcher maximum number of rounds to perform")
     matcher_cfg.register(float, "MATCHER_MAX_EPI_DISTANCE", 0.5, "Max matches epipolar distance")
     matcher_cfg.register(bool, "MATCHER_SKIP_GT", False, "Skip game-theoretic matcher and use the nearest match only.")
-    matcher_cfg.register(float, "FEATURE_MIN_DISTANCE", 10.0, "Minimum distance allowed between two features (in px)")
+    matcher_cfg.register(float, "FEATURE_MIN_DISTANCE", 0.0, "Minimum distance allowed between two features (in px; 0 = auto: 12 below 1.5 MP, 8 above)")
     matcher_cfg.register(float, "FEATURE_HESSIAN_THRESHOLD", 0.0001, "Detector determinant-of-Hessian threshold")
     matcher_cfg.register(int, "FEATURE_N_OCTAVES", 4, "Scale-space octaves")
     matcher_cfg.register(int, "FEATURE_N_LAYERS", 4, "Scale-space layers per octave")
@@ -182,7 +182,8 @@ def match_config_from_registry():
         max_epi_distance=g("MATCHER_MAX_EPI_DISTANCE"),
         skip_gt=g("MATCHER_SKIP_GT"),
         hessian_threshold=g("FEATURE_HESSIAN_THRESHOLD"),
-        feature_grid_cell=max(int(g("FEATURE_MIN_DISTANCE")), 2),
+        feature_grid_cell=(0 if g("FEATURE_MIN_DISTANCE") <= 0
+                           else max(int(g("FEATURE_MIN_DISTANCE")), 2)),
         area_subdivision=g("AREA_SUBDIVISION"),
         input_smooth_sigma=g("MATCHER_INPUT_SMOOTH_SIGMA"),
         lk_win=g("MATCHER_LK_WIN"),

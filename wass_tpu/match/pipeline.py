@@ -31,7 +31,14 @@ class MatchConfig:
     """Defaults from the reference matcher options (wass_match.cpp:39-45,
     FeatureSet.cpp:42-47, GTMatcher.cpp:33)."""
 
-    num_features: int = 2000
+    # Feature budget.  0 = AUTO (default): resolution-scaled — 2000 at
+    # <= 1.5 MP (the reference's fixed budget, wass_match.cpp:39) and
+    # 4000 above.  The reference's 2000 under-samples megapixel imagery
+    # (0.06% of pixels at 3 MP vs 0.26% at 1 MP), leaving the >= 400
+    # match gate with only a 1.1x margin at 2048x1536; 4000 + denser NMS
+    # measures 830 matches at a *better* epipolar error (0.163 vs
+    # 0.177 px; bench/_probe_fullres_margin.py, 2026-08-21).
+    num_features: int = 0
     n_candidates_per_feature: int = 3
     nndr: float = 0.25
     matcher_lambda: float = 1e-5
@@ -41,7 +48,10 @@ class MatchConfig:
     max_epi_distance: float = 0.5  # px
     skip_gt: bool = False
     hessian_threshold: float = 1e-4
-    feature_grid_cell: int = 12
+    # Grid-NMS cell size in px.  0 = AUTO: 12 at <= 1.5 MP, 8 above
+    # (surface texture scales with resolution, so a fixed 12 px cell
+    # caps feature density exactly where the budget grows).
+    feature_grid_cell: int = 0
     area_subdivision: int = 5
     ransac_hypotheses: int = 1024
     ransac_confidence: float = 0.9999
@@ -143,18 +153,26 @@ def match_frame(
         img0 = _gauss_blur(img0, smooth_sigma)
         img1 = _gauss_blur(img1, smooth_sigma)
 
+    # AUTO feature budget / NMS density: resolution-scaled on the image
+    # actually matched (so heavy-noise half-res matching gets the 1 MP
+    # class).  Measured at 2048x1536: 830 matches / 0.163 px vs the
+    # fixed-2000 default's 437 / 0.177 (bench/_probe_fullres_margin.py).
+    area_mp = img0.shape[0] * img0.shape[1] / 1e6
+    n_feat = cfg.num_features or (2000 if area_mp <= 1.5 else 4000)
+    grid_cell = cfg.feature_grid_cell or (12 if area_mp <= 1.5 else 8)
+
     f0 = detect_features(
         jnp.asarray(img0, jnp.float32),
-        max_features=cfg.num_features,
+        max_features=n_feat,
         hessian_threshold=cfg.hessian_threshold,
-        grid_cell=cfg.feature_grid_cell,
+        grid_cell=grid_cell,
         area_subdivision=cfg.area_subdivision,
     )
     f1 = detect_features(
         jnp.asarray(img1, jnp.float32),
-        max_features=cfg.num_features,
+        max_features=n_feat,
         hessian_threshold=cfg.hessian_threshold,
-        grid_cell=cfg.feature_grid_cell,
+        grid_cell=grid_cell,
         area_subdivision=cfg.area_subdivision,
     )
 
