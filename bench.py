@@ -85,12 +85,18 @@ def bench_e2e():
 
     root = Path("/tmp/wass_bench_e2e")
     shutil.rmtree(root, ignore_errors=True)
+    # WASS_BENCH_WIRE: unset/auto = AUTO probe (production default);
+    # 0/1 force the direct/delta wire format — used to measure the
+    # counterfactual leg of the AUTO decision in the same session.
+    wire_env = os.environ.get("WASS_BENCH_WIRE", "auto").lower()
+    wire_delta = None if wire_env in ("auto", "") else wire_env in ("1", "true")
     cfg = SequenceConfig(
         stereo=DenseStereoConfig(
             num_disp=D, min_disp=1,
             plane_ransac_threshold=0.1, plane_max_distance=0.3,
         ),
         debug_renders=False,  # renders are host jpeg work; measured separately
+        wire_delta=wire_delta,
     )
     pipe = SequencePipeline(root, cfg)
     print(f"# preparing {n_frames} frame workdirs...", file=sys.stderr)
